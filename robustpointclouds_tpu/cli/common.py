@@ -1,0 +1,191 @@
+"""Shared CLI machinery: training driver, evaluation driver, metric logging.
+
+The reference spreads this across mmengine's Runner plus per-script
+monkeypatching (train.py:117-132, train_kitti_3class_adversarial.py:57-274);
+here it is one explicit loop: data -> fused jit step -> NaN ladder -> periodic
+val/checkpoint, with the perturbation-metrics CSV dump matching the
+reference's `save_l2_norms` schema (voxel_perturber.py:411-432).
+"""
+from __future__ import annotations
+
+import csv
+import json
+import os
+import time
+from typing import Callable, Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import synthetic_kitti_batch
+from ..data.structures import PointCloudBatch
+from ..eval import KittiMetric
+from ..models import VoxelNetConfig, anchor_head_predict
+from ..train import NaNLadder, TrainConfig, Trainer
+from ..train.checkpoint import CheckpointManager
+from ..train.hooks import reinit_adversary_params
+
+
+class MetricsLogger:
+    """Accumulates per-step scalars; dumps the reference-compatible CSVs."""
+
+    def __init__(self, work_dir: str):
+        self.work_dir = work_dir
+        os.makedirs(work_dir, exist_ok=True)
+        self.l2_norms: List[float] = []
+        self.l2_percentages: List[float] = []
+        self.rows: List[Dict[str, float]] = []
+
+    def log_step(self, logs: Dict):
+        row = {k: float(v) for k, v in logs.items() if jnp.ndim(v) == 0}
+        self.rows.append(row)
+        if "perturbation_l2_norm" in row:
+            self.l2_norms.append(row["perturbation_l2_norm"])
+
+    def save_l2_norms(self, filename: str = "l2_norms.csv"):
+        path = os.path.join(self.work_dir, filename)
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["L2 Norm", "L2 Percentage", "Constraint Violations"])
+            for i, n in enumerate(self.l2_norms):
+                pct = self.l2_percentages[i] if i < len(self.l2_percentages) else 0.0
+                w.writerow([n, pct, 0.0])
+        return path
+
+    def save_history(self, filename: str = "train_log.jsonl"):
+        path = os.path.join(self.work_dir, filename)
+        with open(path, "w") as f:
+            for r in self.rows:
+                f.write(json.dumps(r) + "\n")
+        return path
+
+
+def synthetic_loader(
+    batch_size: int, steps_per_epoch: int, num_points: int = 20000, seed: int = 0,
+    point_range=(0.0, -40.0, -3.0, 70.4, 40.0, 1.0),
+) -> Callable[[int], Iterator[PointCloudBatch]]:
+    def epoch_iter(epoch: int):
+        rng = np.random.RandomState(seed * 10007 + epoch)
+        for _ in range(steps_per_epoch):
+            b = synthetic_kitti_batch(
+                rng, batch_size=batch_size, num_points=num_points,
+                point_range=point_range,
+            )
+            yield PointCloudBatch(*(jnp.asarray(x) for x in b))
+
+    return epoch_iter
+
+
+def run_training(
+    trainer: Trainer,
+    epoch_loader: Callable[[int], Iterator[PointCloudBatch]],
+    work_dir: str,
+    max_epochs: int,
+    val_interval: int = 5,
+    val_loader: Optional[Callable[[], Iterator[PointCloudBatch]]] = None,
+    resume: bool = False,
+    log_interval: int = 50,
+    checkpoint_interval: int = 5,
+    max_keep: int = 10,
+    seed: int = 0,
+) -> Dict:
+    """The full training loop (reference scenario:
+    train_kitti_3class_adversarial.py --validate)."""
+    os.makedirs(work_dir, exist_ok=True)
+    logger = MetricsLogger(work_dir)
+    ladder = NaNLadder()
+    ckpt = CheckpointManager(work_dir, max_to_keep=max_keep,
+                             save_interval_epochs=checkpoint_interval)
+
+    rng = jax.random.PRNGKey(seed)
+    first_batch = next(iter(epoch_loader(0)))
+    state = trainer.init_state(rng, first_batch)
+    start_epoch = 0
+    if resume:
+        latest = ckpt.latest_epoch()
+        if latest is not None:
+            state = ckpt.restore(state)
+            start_epoch = latest + 1
+            print(f"[resume] restored epoch {latest} from {work_dir}")
+        else:
+            print(f"[resume] no checkpoint in {work_dir}, starting fresh")
+    trainer.compile(donate=False)
+
+    history = {}
+    t_start = time.time()
+    for epoch in range(start_epoch, max_epochs):
+        epoch_t0 = time.time()
+        n_frames = 0
+        for i, batch in enumerate(epoch_loader(epoch)):
+            state, logs = trainer.train_step(state, batch, epoch=epoch)
+            n_frames += batch.points.shape[0]
+            if (i + 1) % log_interval == 0 or i == 0:
+                logs = {k: float(v) for k, v in logs.items()}
+                logger.log_step(logs)
+                state = ladder.update(
+                    state,
+                    adversary_reinit_fn=lambda p: reinit_adversary_params(
+                        p, jax.random.fold_in(rng, epoch)
+                    ),
+                )
+                print(
+                    f"[epoch {epoch} iter {i + 1}] "
+                    + " ".join(f"{k}={v:.4f}" for k, v in sorted(logs.items()))
+                )
+                if ladder.should_stop:
+                    print("[NaN ladder] too many consecutive NaNs — stopping")
+                    break
+        dt = time.time() - epoch_t0
+        print(f"[epoch {epoch}] done in {dt:.1f}s ({n_frames / max(dt, 1e-9):.2f} frames/s)")
+        ckpt.maybe_save(epoch, state)
+        if val_loader is not None and (epoch + 1) % val_interval == 0:
+            metrics = run_evaluation(trainer, state, val_loader(), attack=False)
+            history[f"val_epoch{epoch}"] = metrics
+            print(f"[val epoch {epoch}] {metrics}")
+        if ladder.should_stop:
+            break
+
+    ckpt.save(max_epochs - 1, state)
+    logger.save_l2_norms()
+    logger.save_history()
+    history["wall_time_s"] = time.time() - t_start
+    history["final_epoch"] = epoch
+    return {"state": state, "history": history, "work_dir": work_dir}
+
+
+def run_evaluation(
+    trainer: Trainer,
+    state,
+    batches: Iterator[PointCloudBatch],
+    attack: bool = False,
+) -> Dict[str, float]:
+    """Clean or attack-mode evaluation -> KITTI AP dict.
+
+    attack=True forces the adversary with eval-attack bounds at test time —
+    the reference's `evaluate_kitti_adversarial_attack` measurement
+    (patch_model_for_adversarial_eval, evaluate_kitti_adversarial_attack.py:23-62).
+    """
+    metric = KittiMetric(classes=tuple(trainer.model_cfg.class_names), metrics=("3d", "bev"))
+    head = trainer.model_cfg.head
+    predict = jax.jit(
+        lambda cls, box, d: anchor_head_predict(cls, box, d, trainer.anchors, head)
+    )
+    n = 0
+    for batch in batches:
+        outs = trainer.forward_eval(state, batch, attack=attack)
+        boxes, scores, labels, mask = predict(outs.cls_scores, outs.bbox_preds, outs.dir_preds)
+        for b in range(batch.points.shape[0]):
+            metric.update_from_arrays(
+                gt_boxes=np.asarray(batch.gt_boxes[b]),
+                gt_labels=np.asarray(batch.gt_labels[b]),
+                gt_mask=np.asarray(batch.gt_mask[b]),
+                dt_boxes=np.asarray(boxes[b]),
+                dt_scores=np.asarray(scores[b]),
+                dt_labels=np.asarray(labels[b]),
+                dt_mask=np.asarray(mask[b]),
+            )
+            n += 1
+    results = metric.compute()
+    results["num_frames"] = n
+    return results

@@ -1,0 +1,100 @@
+"""KITTI 3-class evaluation: clean and adversarially-trained-model modes.
+
+Mirrors the reference evaluate_kitti_3class.py surface (--mode
+clean|adversarial|both, :182-186): 'clean' evaluates a baseline (non-
+adversarial) checkpoint; 'adversarial' evaluates the adversarially-trained
+detector with perturbations OFF (measuring clean accuracy of the robust model,
+reference call stack §3.2 in SURVEY.md). Attack-mode measurement lives in
+evaluate_kitti_adversarial_attack.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="KITTI 3-class evaluation")
+    p.add_argument("--mode", choices=("clean", "adversarial", "both"), default="both")
+    p.add_argument("--checkpoint", default=None, help="explicit checkpoint dir")
+    p.add_argument("--work-dir", default="work_dirs/kitti_3class_adversarial")
+    p.add_argument("--data-root", default="data/kitti")
+    p.add_argument("--batch-size", type=int, default=6)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--limit", type=int, default=None, help="max val frames")
+    return p.parse_args()
+
+
+def evaluate_checkpoint(work_dir, data_root, batch_size, synthetic, limit, attack=False):
+    import jax
+
+    from ..models import VoxelNetConfig
+    from ..train import TrainConfig, Trainer
+    from ..train.checkpoint import CheckpointManager
+    from .common import run_evaluation, synthetic_loader
+
+    model_cfg = VoxelNetConfig()
+    trainer = Trainer(model_cfg=model_cfg, train_cfg=TrainConfig())
+
+    if synthetic:
+        batches = list(synthetic_loader(batch_size, 4, seed=999)(0))
+    else:
+        from ..data.kitti import kitti_available, kitti_val_loader
+
+        if not kitti_available(data_root):
+            print(f"[data] KITTI not found under {data_root!r}; using synthetic val")
+            batches = list(synthetic_loader(batch_size, 4, seed=999)(0))
+        else:
+            batches = kitti_val_loader(data_root, batch_size, model_cfg, limit=limit)
+
+    sample = batches[0] if isinstance(batches, list) else next(iter(batches))
+    state = trainer.init_state(jax.random.PRNGKey(0), sample)
+    ckpt = CheckpointManager(work_dir)
+    latest = ckpt.latest_epoch()
+    if latest is None:
+        print(f"[warn] no checkpoint in {work_dir}; evaluating random init")
+    else:
+        state = ckpt.restore(state)
+        print(f"[eval] restored epoch {latest} from {work_dir}")
+
+    return run_evaluation(trainer, state, iter(batches) if isinstance(batches, list) else batches,
+                          attack=attack)
+
+
+def main():
+    args = parse_args()
+    results = {}
+    if args.mode in ("clean", "both"):
+        print("=" * 60 + "\nCLEAN BASELINE EVALUATION\n" + "=" * 60)
+        wd = args.checkpoint or "work_dirs/kitti_3class_baseline"
+        try:
+            results["clean"] = evaluate_checkpoint(
+                wd, args.data_root, args.batch_size, args.synthetic, args.limit
+            )
+            print(json.dumps(results["clean"], indent=2))
+        except Exception as e:  # keep the reference's per-mode SUCCESS/FAIL table
+            print(f"[clean] FAILED: {e}")
+            results["clean"] = None
+    if args.mode in ("adversarial", "both"):
+        print("=" * 60 + "\nADVERSARIAL-MODEL EVALUATION (perturbations off)\n" + "=" * 60)
+        wd = args.checkpoint or args.work_dir
+        try:
+            results["adversarial"] = evaluate_checkpoint(
+                wd, args.data_root, args.batch_size, args.synthetic, args.limit
+            )
+            print(json.dumps(results["adversarial"], indent=2))
+        except Exception as e:
+            print(f"[adversarial] FAILED: {e}")
+            results["adversarial"] = None
+
+    print("\n" + "=" * 60 + "\nSUMMARY")
+    for mode, res in results.items():
+        status = "SUCCESS" if res is not None else "FAILED"
+        map_str = f" mAP_3d_moderate={res.get('mAP_3d_moderate', float('nan')):.2f}" if res else ""
+        print(f"  {mode}: {status}{map_str}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Robustness-under-attack evaluation: perturbations FORCED ON at test time.
+
+The reference achieves this by monkeypatching `AdversarialVoxelNet.
+extract_feat` to force training=True during test so the (stronger) eval-bound
+perturbations fire (evaluate_kitti_adversarial_attack.py:23-62). Here attack
+mode is a first-class model flag (`attack=True` in models/voxelnet.py), so
+this script is just evaluation with attack=True, and it prints the mAP drop
+against the clean run — the reference's attack-effectiveness measurement
+(SURVEY.md §3.3).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="KITTI adversarial-attack evaluation")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--work-dir", default="work_dirs/kitti_3class_adversarial")
+    p.add_argument("--data-root", default="data/kitti")
+    p.add_argument("--batch-size", type=int, default=6)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--limit", type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from .evaluate_kitti_3class import evaluate_checkpoint
+
+    wd = args.checkpoint or args.work_dir
+    print("=" * 60 + "\nCLEAN EVALUATION (for comparison)\n" + "=" * 60)
+    clean = evaluate_checkpoint(
+        wd, args.data_root, args.batch_size, args.synthetic, args.limit, attack=False
+    )
+    print(json.dumps(clean, indent=2))
+
+    print("=" * 60 + "\nATTACK EVALUATION (forced perturbations, eval bounds)\n" + "=" * 60)
+    attacked = evaluate_checkpoint(
+        wd, args.data_root, args.batch_size, args.synthetic, args.limit, attack=True
+    )
+    print(json.dumps(attacked, indent=2))
+
+    print("\n" + "=" * 60 + "\nATTACK EFFECTIVENESS")
+    for key in sorted(clean):
+        if key.endswith("_moderate") or key == "mAP_3d_moderate":
+            c, a = clean.get(key, 0.0), attacked.get(key, 0.0)
+            drop = c - a
+            rel = 100.0 * drop / c if c > 0 else 0.0
+            print(f"  {key}: clean={c:.2f} attacked={a:.2f} drop={drop:.2f} ({rel:.1f}%)")
+    return {"clean": clean, "attacked": attacked}
+
+
+if __name__ == "__main__":
+    main()

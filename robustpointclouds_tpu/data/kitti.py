@@ -1,0 +1,241 @@
+"""KITTI dataset reader: velodyne .bin + label_2 + calib -> PointCloudBatch.
+
+Standalone replacement for the mmdet3d KittiDataset pipeline the reference
+configures (configs/_base_/kitti-3d-car.py:104-158: velodyne_reduced points,
+kitti_infos_{train,val}.pkl annotations). Reads the raw KITTI layout directly
+— no info-pkl preprocessing step required (but see `load_infos_pkl` for
+compatibility with existing mmdet3d info files).
+
+Label conversion: KITTI labels live in the camera frame (location = bottom
+center, dims = (h, w, l), rotation_y); boxes are converted to this framework's
+lidar-frame center-z convention (x, y, z_center, dx=l, dy=w, dz=h, yaw) with
+yaw = -rotation_y - pi/2. Difficulty follows the devkit rules (image bbox
+height / occlusion / truncation).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .structures import PointCloudBatch
+from . import transforms as T
+
+CLASSES = ("Car", "Pedestrian", "Cyclist")
+_CLS_TO_ID = {c: i for i, c in enumerate(CLASSES)}
+
+
+def kitti_available(data_root: str) -> bool:
+    return os.path.isdir(os.path.join(data_root, "training", "velodyne_reduced")) or (
+        os.path.isdir(os.path.join(data_root, "training", "velodyne"))
+    )
+
+
+def _velodyne_dir(data_root: str, split: str = "training") -> str:
+    reduced = os.path.join(data_root, split, "velodyne_reduced")
+    return reduced if os.path.isdir(reduced) else os.path.join(data_root, split, "velodyne")
+
+
+def read_points(path: str) -> np.ndarray:
+    """Load a velodyne .bin: [N, 4] float32 (x, y, z, intensity)."""
+    return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+
+
+def read_calib(path: str) -> Dict[str, np.ndarray]:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            if ":" not in line:
+                continue
+            key, vals = line.split(":", 1)
+            out[key.strip()] = np.asarray([float(v) for v in vals.split()], np.float64)
+    calib = {}
+    if "P2" in out:
+        calib["P2"] = out["P2"].reshape(3, 4)
+    r0 = out.get("R0_rect", out.get("R_rect"))
+    if r0 is not None:
+        calib["R0"] = r0.reshape(3, 3)
+    tr = out.get("Tr_velo_to_cam", out.get("Tr_velo_cam"))
+    if tr is not None:
+        calib["Tr_velo_to_cam"] = tr.reshape(3, 4)
+    return calib
+
+
+def _difficulty(bbox_h: float, occluded: int, truncated: float) -> int:
+    if bbox_h >= 40 and occluded <= 0 and truncated <= 0.15:
+        return 0
+    if bbox_h >= 25 and occluded <= 1 and truncated <= 0.3:
+        return 1
+    if bbox_h >= 25 and occluded <= 2 and truncated <= 0.5:
+        return 2
+    return -1
+
+
+def read_label(path: str, calib: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Parse label_2 txt -> lidar-frame boxes + labels + difficulty."""
+    names, boxes, difficulty = [], [], []
+    R0 = calib.get("R0", np.eye(3))
+    Tr = calib.get("Tr_velo_to_cam")
+    if Tr is None:
+        raise ValueError("calib must contain Tr_velo_to_cam")
+    Tr4 = np.eye(4)
+    Tr4[:3] = Tr
+    R04 = np.eye(4)
+    R04[:3, :3] = R0
+    cam_to_velo = np.linalg.inv(R04 @ Tr4)
+
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 15:
+                continue
+            name = parts[0]
+            if name == "DontCare":
+                continue
+            truncated, occluded = float(parts[1]), int(float(parts[2]))
+            bbox = [float(v) for v in parts[4:8]]
+            h, w, l = (float(v) for v in parts[8:11])
+            loc_cam = np.asarray([float(v) for v in parts[11:14]] + [1.0])
+            rot_y = float(parts[14])
+            loc_velo = (cam_to_velo @ loc_cam)[:3]
+            z_center = loc_velo[2] + h / 2.0  # label z is the box bottom
+            yaw = -rot_y - np.pi / 2.0
+            names.append(name)
+            boxes.append([loc_velo[0], loc_velo[1], z_center, l, w, h, yaw])
+            difficulty.append(_difficulty(bbox[3] - bbox[1], occluded, truncated))
+    return {
+        "name": np.asarray(names),
+        "boxes_3d": np.asarray(boxes, np.float32).reshape(-1, 7),
+        "difficulty": np.asarray(difficulty, np.int32),
+    }
+
+
+def load_infos_pkl(path: str) -> List[Dict]:
+    """Read an mmdet3d kitti_infos_*.pkl (compat path for preprocessed data)."""
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    return data["data_list"] if isinstance(data, dict) and "data_list" in data else data
+
+
+class KittiDataset:
+    """Raw-layout KITTI dataset over an ImageSets split file."""
+
+    def __init__(
+        self,
+        data_root: str,
+        split: str = "train",
+        classes: Sequence[str] = CLASSES,
+    ):
+        self.data_root = data_root
+        self.classes = list(classes)
+        split_file = os.path.join(data_root, "ImageSets", f"{split}.txt")
+        if os.path.isfile(split_file):
+            with open(split_file) as f:
+                self.ids = [line.strip() for line in f if line.strip()]
+        else:
+            vdir = _velodyne_dir(data_root)
+            self.ids = sorted(os.path.splitext(n)[0] for n in os.listdir(vdir))
+        self._vdir = _velodyne_dir(data_root)
+        self._ldir = os.path.join(data_root, "training", "label_2")
+        self._cdir = os.path.join(data_root, "training", "calib")
+
+    def __len__(self):
+        return len(self.ids)
+
+    def get(self, idx: int) -> Dict:
+        fid = self.ids[idx]
+        points = read_points(os.path.join(self._vdir, f"{fid}.bin"))
+        calib = read_calib(os.path.join(self._cdir, f"{fid}.txt"))
+        anno = read_label(os.path.join(self._ldir, f"{fid}.txt"), calib)
+        keep = np.isin(anno["name"], self.classes)
+        labels = np.asarray(
+            [_CLS_TO_ID.get(n, -1) for n in anno["name"][keep]], np.int32
+        )
+        return {
+            "frame_id": fid,
+            "points": points,
+            "gt_boxes": anno["boxes_3d"][keep],
+            "gt_labels": labels,
+            "gt_difficulty": anno["difficulty"][keep],
+            "raw_anno": anno,
+        }
+
+
+def _pad_batch(
+    samples: List[Dict], num_points: int, max_gt: int
+) -> PointCloudBatch:
+    B = len(samples)
+    points = np.zeros((B, num_points, 4), np.float32)
+    pmask = np.zeros((B, num_points), bool)
+    boxes = np.zeros((B, max_gt, 7), np.float32)
+    labels = np.zeros((B, max_gt), np.int32)
+    gmask = np.zeros((B, max_gt), bool)
+    for b, s in enumerate(samples):
+        p = s["points"]
+        n = min(len(p), num_points)
+        sel = np.random.choice(len(p), n, replace=False) if len(p) > num_points else slice(0, n)
+        points[b, :n] = p[sel]
+        pmask[b, :n] = True
+        g = min(len(s["gt_boxes"]), max_gt)
+        boxes[b, :g] = s["gt_boxes"][:g]
+        labels[b, :g] = s["gt_labels"][:g]
+        gmask[b, :g] = True
+    return PointCloudBatch(points, pmask, boxes, labels, gmask)
+
+
+def kitti_epoch_loader(
+    data_root: str,
+    batch_size: int,
+    model_cfg,
+    seed: int = 0,
+    steps_per_epoch: Optional[int] = None,
+    num_points: int = 20000,
+    max_gt: int = 50,
+    augment: bool = True,
+) -> Callable[[int], Iterator[PointCloudBatch]]:
+    import jax.numpy as jnp
+
+    ds = KittiDataset(data_root, split="train")
+    pcr = model_cfg.voxelizer.point_cloud_range
+
+    def epoch_iter(epoch: int):
+        rng = np.random.RandomState(seed * 131 + epoch)
+        order = rng.permutation(len(ds))
+        n_steps = steps_per_epoch or max(len(ds) // batch_size, 1)
+        for i in range(n_steps):
+            idxs = order[(i * batch_size) % len(ds) : (i * batch_size) % len(ds) + batch_size]
+            if len(idxs) < batch_size:
+                idxs = np.concatenate([idxs, order[: batch_size - len(idxs)]])
+            samples = []
+            for j in idxs:
+                s = ds.get(int(j))
+                if augment:
+                    s = T.augment_sample(s, rng, pcr)
+                else:
+                    s = T.filter_range(s, pcr)
+                samples.append(s)
+            b = _pad_batch(samples, num_points, max_gt)
+            yield PointCloudBatch(*(jnp.asarray(x) for x in b))
+
+    return epoch_iter
+
+
+def kitti_val_loader(
+    data_root: str, batch_size: int, model_cfg, num_points: int = 20000, max_gt: int = 50,
+    limit: Optional[int] = None,
+) -> Iterator[PointCloudBatch]:
+    import jax.numpy as jnp
+
+    ds = KittiDataset(data_root, split="val")
+    pcr = model_cfg.voxelizer.point_cloud_range
+    n = min(len(ds), limit) if limit else len(ds)
+    for i in range(0, n, batch_size):
+        samples = [
+            T.filter_range(ds.get(j), pcr) for j in range(i, min(i + batch_size, n))
+        ]
+        while len(samples) < batch_size:
+            samples.append(samples[-1])
+        b = _pad_batch(samples, num_points, max_gt)
+        yield PointCloudBatch(*(jnp.asarray(x) for x in b))

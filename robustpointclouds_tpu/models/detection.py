@@ -1,0 +1,197 @@
+"""Anchor-head training targets, losses and decoding (Anchor3DHead semantics).
+
+The functional complement to nn/anchor_head.py: everything mmdet3d does in
+`Anchor3DHead.loss_by_feat` / `predict_by_feat` (invoked by the reference at
+models/detectors/adversarial_voxelnet.py:168 and through tools/test), rebuilt
+as pure jittable functions over precomputed anchors:
+
+  * per-class Max-IoU assignment (ops/assigner.py)
+  * focal / smooth-L1(sin-diff) / direction-CE losses with num_pos averaging
+  * decode + direction correction + multiclass rotated NMS
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import assigner, box_coder, boxes as box_ops, losses, nms
+
+
+class AnchorHeadConfig(NamedTuple):
+    num_classes: int = 3
+    pos_iou_thr: Sequence[float] = (0.6, 0.35, 0.35)
+    neg_iou_thr: Sequence[float] = (0.45, 0.2, 0.2)
+    min_pos_iou: Sequence[float] = (0.45, 0.2, 0.2)
+    cls_loss_weight: float = 1.0
+    bbox_loss_weight: float = 2.0
+    dir_loss_weight: float = 0.2
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    smooth_l1_beta: float = 1.0 / 9.0
+    dir_offset: float = -np.pi / 2
+    diff_rad_by_sin: bool = True
+    # test cfg (reference ...kitti-3d-3class.py:113-120)
+    score_thr: float = 0.1
+    nms_pre: int = 100
+    nms_iou_thr: float = 0.01
+    max_num: int = 50
+    use_rotate_nms: bool = True
+
+
+def _direction_target(gt_yaw: jnp.ndarray, dir_offset: float) -> jnp.ndarray:
+    """Bin yaw-dir_offset into 2 bins over [0, 2pi) (mmdet3d get_direction_target)."""
+    offset_rot = jnp.mod(gt_yaw - dir_offset, 2 * np.pi)
+    return jnp.clip(jnp.floor(offset_rot / np.pi), 0, 1).astype(jnp.int32)
+
+
+def anchor_head_targets(
+    anchors: jnp.ndarray,
+    anchor_classes: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    cfg: AnchorHeadConfig,
+):
+    """Single-sample target assignment. anchors [A,7]; gts padded [G,...]."""
+    res = assigner.assign(
+        anchors, anchor_classes, gt_boxes, gt_labels, gt_mask,
+        cfg.pos_iou_thr, cfg.neg_iou_thr, cfg.min_pos_iou,
+    )
+    matched_boxes = gt_boxes[res.matched_gt]
+    bbox_targets = box_coder.encode(matched_boxes, anchors)
+    dir_targets = _direction_target(matched_boxes[..., 6], cfg.dir_offset)
+    cls_onehot = jax.nn.one_hot(
+        jnp.where(res.pos_mask, res.labels, cfg.num_classes), cfg.num_classes + 1
+    )[..., : cfg.num_classes]
+    cls_weights = (res.pos_mask | res.neg_mask).astype(jnp.float32)
+    bbox_weights = res.pos_mask.astype(jnp.float32)
+    return cls_onehot, cls_weights, bbox_targets, bbox_weights, dir_targets
+
+
+def anchor_head_loss(
+    cls_scores: jnp.ndarray,
+    bbox_preds: jnp.ndarray,
+    dir_preds: jnp.ndarray,
+    anchors: jnp.ndarray,
+    anchor_classes: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    cfg: AnchorHeadConfig,
+) -> Dict[str, jnp.ndarray]:
+    """Batched detection loss.
+
+    Args:
+        cls_scores: [B, H, W, A, C] (A = anchors per location); bbox_preds
+            [B, H, W, A, 7]; dir_preds [B, H, W, A, 2].
+        anchors: [N, 7] flattened (N = H*W*A), anchor_classes [N].
+        gt_*: [B, G, ...] padded ground truth.
+    Returns:
+        dict(loss_cls, loss_bbox, loss_dir, num_pos).
+    """
+    b = cls_scores.shape[0]
+    n = anchors.shape[0]
+    cls_scores = cls_scores.reshape(b, n, -1)
+    bbox_preds = bbox_preds.reshape(b, n, 7)
+    dir_preds = dir_preds.reshape(b, n, 2)
+
+    tgt_fn = jax.vmap(
+        lambda gb, gl, gm: anchor_head_targets(anchors, anchor_classes, gb, gl, gm, cfg)
+    )
+    cls_t, cls_w, bbox_t, bbox_w, dir_t = tgt_fn(gt_boxes, gt_labels, gt_mask)
+
+    num_pos = jnp.maximum(jnp.sum(bbox_w), 1.0)
+
+    loss_cls = cfg.cls_loss_weight * losses.sigmoid_focal_loss(
+        cls_scores, cls_t, cls_w, cfg.focal_gamma, cfg.focal_alpha, avg_factor=num_pos
+    )
+
+    if cfg.diff_rad_by_sin:
+        pred_rot, tgt_rot = losses.add_sin_difference(
+            bbox_preds[..., 6], bbox_t[..., 6]
+        )
+        bbox_preds = jnp.concatenate([bbox_preds[..., :6], pred_rot[..., None]], -1)
+        bbox_t = jnp.concatenate([bbox_t[..., :6], tgt_rot[..., None]], -1)
+    loss_bbox = cfg.bbox_loss_weight * losses.smooth_l1_loss(
+        bbox_preds, bbox_t, bbox_w, cfg.smooth_l1_beta, avg_factor=num_pos
+    )
+    loss_dir = cfg.dir_loss_weight * losses.cross_entropy_loss(
+        dir_preds, dir_t, bbox_w, avg_factor=num_pos
+    )
+    return {
+        "loss_cls": loss_cls,
+        "loss_bbox": loss_bbox,
+        "loss_dir": loss_dir,
+        "num_pos": num_pos,
+    }
+
+
+def _predict_single(
+    cls_scores: jnp.ndarray,
+    bbox_preds: jnp.ndarray,
+    dir_preds: jnp.ndarray,
+    anchors: jnp.ndarray,
+    cfg: AnchorHeadConfig,
+):
+    """Decode one sample: [N, ...] -> fixed-size detections via per-class NMS."""
+    scores = jax.nn.sigmoid(cls_scores)  # [N, C]
+    max_scores = jnp.max(scores, axis=-1)
+    pre = min(cfg.nms_pre, scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(max_scores, pre)
+
+    sel_scores = scores[top_idx]              # [pre, C]
+    sel_boxes = box_coder.decode(bbox_preds[top_idx], anchors[top_idx])
+    sel_dir = jnp.argmax(dir_preds[top_idx], axis=-1)
+
+    # direction correction (mmdet3d Anchor3DHead.predict_by_feat tail):
+    # yaw = limit_period(yaw - offset) + offset + pi * dir
+    yaw = sel_boxes[..., 6]
+    dir_rot = box_ops.limit_period(yaw - cfg.dir_offset, 0.0, np.pi)
+    yaw = dir_rot + cfg.dir_offset + np.pi * sel_dir.astype(yaw.dtype)
+    sel_boxes = jnp.concatenate([sel_boxes[..., :6], yaw[..., None]], -1)
+
+    bev = box_ops.boxes3d_to_bev(sel_boxes)
+    out_boxes, out_scores, out_labels, out_mask = [], [], [], []
+    for c in range(cfg.num_classes):
+        cls_sc = sel_scores[:, c]
+        valid = cls_sc > cfg.score_thr
+        order = jnp.argsort(-cls_sc)
+        if cfg.use_rotate_nms:
+            keep = nms.rotated_nms(bev[order], None, valid[order], cfg.nms_iou_thr)
+        else:
+            keep = nms.circle_nms(sel_boxes[order, :2], valid[order], radius=4.0)
+        out_boxes.append(sel_boxes[order])
+        out_scores.append(jnp.where(keep, cls_sc[order], -1.0))
+        out_labels.append(jnp.full((pre,), c, jnp.int32))
+    all_boxes = jnp.concatenate(out_boxes, 0)
+    all_scores = jnp.concatenate(out_scores, 0)
+    all_labels = jnp.concatenate(out_labels, 0)
+    k = min(cfg.max_num, all_scores.shape[0])
+    final_scores, sel = jax.lax.top_k(all_scores, k)
+    return (
+        all_boxes[sel],
+        final_scores,
+        all_labels[sel],
+        final_scores > 0.0,
+    )
+
+
+def anchor_head_predict(
+    cls_scores: jnp.ndarray,
+    bbox_preds: jnp.ndarray,
+    dir_preds: jnp.ndarray,
+    anchors: jnp.ndarray,
+    cfg: AnchorHeadConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched decode+NMS: returns (boxes [B,K,7], scores, labels, mask)."""
+    b = cls_scores.shape[0]
+    n = anchors.shape[0]
+    fn = jax.vmap(lambda c, bb, d: _predict_single(c, bb, d, anchors, cfg))
+    return fn(
+        cls_scores.reshape(b, n, -1),
+        bbox_preds.reshape(b, n, 7),
+        dir_preds.reshape(b, n, 2),
+    )

@@ -1,0 +1,258 @@
+"""jit-compiled min-max training: one fused step, two optimizers, DP sharding.
+
+Replaces the reference's mmengine Runner + single AdamW with lr_mult trick
+(reference configs/adversarial/adversarial-second_hv_secfpn_8xb6-80e_kitti-3d-3class.py:130-139,
+train loop train.py:117-128). Everything per step — voxelization, adversary,
+detector forward, loss, single fused backward (gradient reversal handles the
+min-max, see models/voxelnet.py), both optimizer updates — is one XLA program.
+
+Data parallelism: the step is jitted under a `jax.sharding.Mesh` with the batch
+sharded over the 'data' axis; XLA inserts the gradient psum over ICI (no
+NCCL/DDP equivalent needed — SURVEY.md §2c).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.core import FrozenDict
+
+from ..data.structures import PointCloudBatch
+from ..models.detection import anchor_head_loss
+from ..models.voxelnet import AdversarialVoxelNet, VoxelNetConfig, adversary_direct_terms
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization schedule (reference recipe: BASELINE.md table)."""
+
+    learning_rate: float = 1e-4
+    adversary_lr_mult: float = 2.0  # reference paramwise_cfg lr_mult
+    weight_decay: float = 1e-3
+    betas: Tuple[float, float] = (0.9, 0.999)
+    grad_clip_norm: float = 0.5
+    adversary_grad_clip_value: float = 0.1  # reference per-param hook clamp
+    warmup_iters: int = 2000
+    warmup_start_factor: float = 0.1
+    max_epochs: int = 30
+    steps_per_epoch: int = 1000
+    eta_min_factor: float = 0.01
+    adversarial_loss_weight: float = 0.1
+    regularization_weight: float = 0.02
+    # reference --freeze-detector mode (train_kitti_3class_adversarial.py:198-211):
+    # detector learning off, adversary lr_mult 20
+    freeze_detector: bool = False
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state_det: Any
+    opt_state_adv: Any
+    step: jnp.ndarray
+    # on-device failure counters (host reads them at log boundaries)
+    nan_count: jnp.ndarray
+    consecutive_nan: jnp.ndarray
+    lr_scale: jnp.ndarray          # reduced by the NaN ladder
+    adversary_enabled: jnp.ndarray  # kill switch (1.0 / 0.0)
+
+
+def _is_adversary_path(path: Tuple) -> bool:
+    return any(getattr(k, "key", None) == "adversary" for k in path)
+
+
+def split_adversary_mask(params) -> Any:
+    """Pytree mask: True on adversary params, False on detector params."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: _is_adversary_path(path), params
+    )
+
+
+def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
+    """Linear warmup (factor 0.1 over 2000 iters) + cosine to 1% over training
+    (reference param_scheduler, ...kitti-3d-3class.py:142-159)."""
+    total = cfg.max_epochs * cfg.steps_per_epoch
+    warmup = optax.linear_schedule(
+        cfg.learning_rate * cfg.warmup_start_factor, cfg.learning_rate, cfg.warmup_iters
+    )
+    cosine = optax.cosine_decay_schedule(
+        cfg.learning_rate, max(total - cfg.warmup_iters, 1), alpha=cfg.eta_min_factor
+    )
+    return optax.join_schedules([warmup, cosine], [cfg.warmup_iters])
+
+
+def make_optimizers(cfg: TrainConfig):
+    sched = make_lr_schedule(cfg)
+    det_scale = 0.0 if cfg.freeze_detector else 1.0
+    det_tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1], eps=1e-8),
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.scale_by_schedule(lambda i: sched(i) * det_scale),
+        optax.scale(-1.0),
+    )
+    adv_tx = optax.chain(
+        optax.zero_nans(),
+        optax.clip(cfg.adversary_grad_clip_value),
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1], eps=1e-8),
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.scale_by_schedule(lambda i: sched(i) * cfg.adversary_lr_mult),
+        optax.scale(-1.0),
+    )
+    return det_tx, adv_tx
+
+
+class Trainer:
+    """Owns the model, optimizers and the compiled train/eval steps."""
+
+    def __init__(
+        self,
+        model_cfg: VoxelNetConfig = VoxelNetConfig(),
+        train_cfg: TrainConfig = TrainConfig(),
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.model = AdversarialVoxelNet(cfg=model_cfg)
+        anchors, anchor_cls = model_cfg.make_anchors()
+        self.anchors = jnp.asarray(anchors)
+        self.anchor_cls = jnp.asarray(anchor_cls)
+        self.det_tx, self.adv_tx = make_optimizers(train_cfg)
+        self.mesh = mesh
+        self._train_step = None
+        self._eval_step = None
+
+    # -- initialization -----------------------------------------------------
+    def init_state(self, rng: jax.Array, sample_batch: PointCloudBatch) -> TrainState:
+        # jit the init: eager init dispatches every op separately, which is
+        # pathological over a remote-device tunnel at full KITTI scale
+        init_fn = jax.jit(
+            lambda r, p, m: self.model.init(r, p, m, True, 0)
+        )
+        variables = init_fn(
+            rng,
+            jnp.asarray(sample_batch.points),
+            jnp.asarray(sample_batch.points_mask),
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        mask = split_adversary_mask(params)
+        det_params = jax.tree_util.tree_map(
+            lambda p, m: jnp.zeros_like(p) if m else p, params, mask
+        )
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state_det=self.det_tx.init(params),
+            opt_state_adv=self.adv_tx.init(params),
+            step=jnp.int32(0),
+            nan_count=jnp.int32(0),
+            consecutive_nan=jnp.int32(0),
+            lr_scale=jnp.float32(1.0),
+            adversary_enabled=jnp.float32(1.0),
+        )
+
+    # -- the fused step -------------------------------------------------------
+    def _loss_fn(self, params, batch_stats, batch: PointCloudBatch, epoch, adv_enabled):
+        outs, mutated = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch.points,
+            batch.points_mask,
+            True,
+            epoch,
+            False,
+            -1.0 * adv_enabled,  # adversary kill switch zeroes its det-loss grads
+            mutable=["batch_stats"],
+        )
+        det = anchor_head_loss(
+            outs.cls_scores, outs.bbox_preds, outs.dir_preds,
+            self.anchors, self.anchor_cls,
+            batch.gt_boxes, batch.gt_labels, batch.gt_mask,
+            self.model_cfg.head,
+        )
+        det_total = det["loss_cls"] + det["loss_bbox"] + det["loss_dir"]
+        adv_total, adv_logs = adversary_direct_terms(
+            det, outs.adv_aux, epoch, self.train_cfg.regularization_weight
+        )
+        # NaN guard on the scalar: a NaN loss contributes zero gradient this
+        # step and bumps the on-device counter (reference NaNDetectionHook
+        # zeroes NaN losses, custom_hook.py:113-116)
+        total = det_total + adv_enabled * adv_total
+        is_nan = ~jnp.isfinite(total)
+        total = jnp.where(is_nan, 0.0, total)
+        logs = {
+            "loss": det_total,
+            "loss_cls": det["loss_cls"],
+            "loss_bbox": det["loss_bbox"],
+            "loss_dir": det["loss_dir"],
+            "num_pos": det["num_pos"],
+            **adv_logs,
+        }
+        return total, (mutated.get("batch_stats", batch_stats), logs, is_nan)
+
+    def _step_impl(self, state: TrainState, batch: PointCloudBatch, epoch):
+        grads, (new_stats, logs, is_nan) = jax.grad(self._loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, epoch, state.adversary_enabled
+        )
+        adv_mask = split_adversary_mask(state.params)
+
+        det_updates, new_opt_det = self.det_tx.update(
+            grads, state.opt_state_det, state.params
+        )
+        adv_updates, new_opt_adv = self.adv_tx.update(
+            grads, state.opt_state_adv, state.params
+        )
+        updates = jax.tree_util.tree_map(
+            lambda m, d, a: jnp.where(m, a, d), adv_mask, det_updates, adv_updates
+        )
+        # NaN-ladder LR scale + freeze everything on a NaN step
+        scale = state.lr_scale * (1.0 - is_nan.astype(jnp.float32))
+        updates = jax.tree_util.tree_map(lambda u: u * scale, updates)
+        new_params = optax.apply_updates(state.params, updates)
+
+        nan_i = is_nan.astype(jnp.int32)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state_det=new_opt_det,
+            opt_state_adv=new_opt_adv,
+            step=state.step + 1,
+            nan_count=state.nan_count + nan_i,
+            consecutive_nan=(state.consecutive_nan + nan_i) * nan_i,
+            lr_scale=state.lr_scale,
+            adversary_enabled=state.adversary_enabled,
+        )
+        return new_state, logs
+
+    def compile(self, donate: bool = True):
+        kwargs = dict(donate_argnums=(0,)) if donate else {}
+        self._train_step = jax.jit(self._step_impl, **kwargs)
+        return self
+
+    def train_step(self, state: TrainState, batch: PointCloudBatch, epoch: int):
+        if self._train_step is None:
+            self.compile()
+        return self._train_step(state, batch, jnp.float32(epoch))
+
+    # -- eval ---------------------------------------------------------------
+    def forward_eval(self, state: TrainState, batch: PointCloudBatch, attack: bool = False):
+        if self._eval_step is None:
+            self._eval_step = jax.jit(
+                lambda p, bs, pts, m: self.model.apply(
+                    {"params": p, "batch_stats": bs}, pts, m, False, 100, False
+                ),
+                static_argnames=(),
+            )
+            self._attack_step = jax.jit(
+                lambda p, bs, pts, m: self.model.apply(
+                    {"params": p, "batch_stats": bs}, pts, m, False, 100, True
+                )
+            )
+        fn = self._attack_step if attack else self._eval_step
+        return fn(state.params, state.batch_stats, batch.points, batch.points_mask)
