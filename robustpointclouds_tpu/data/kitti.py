@@ -194,11 +194,18 @@ def kitti_epoch_loader(
     num_points: int = 20000,
     max_gt: int = 50,
     augment: bool = True,
+    use_native: bool = True,
 ) -> Callable[[int], Iterator[PointCloudBatch]]:
+    """Training loader. When the C++ pipeline is built (data/native.py), point
+    IO + global augmentation + padding run natively and threaded; per-object
+    transforms (ObjectNoise, GT-paste) stay in numpy on top."""
     import jax.numpy as jnp
+
+    from . import native
 
     ds = KittiDataset(data_root, split="train")
     pcr = model_cfg.voxelizer.point_cloud_range
+    native_ok = use_native and native.native_available()
 
     def epoch_iter(epoch: int):
         rng = np.random.RandomState(seed * 131 + epoch)
@@ -208,6 +215,42 @@ def kitti_epoch_loader(
             idxs = order[(i * batch_size) % len(ds) : (i * batch_size) % len(ds) + batch_size]
             if len(idxs) < batch_size:
                 idxs = np.concatenate([idxs, order[: batch_size - len(idxs)]])
+            if native_ok:
+                paths, all_boxes, all_labels, n_boxes = [], [], [], []
+                for j in idxs:
+                    fid = ds.ids[int(j)]
+                    paths.append(os.path.join(ds._vdir, f"{fid}.bin"))
+                    calib = read_calib(os.path.join(ds._cdir, f"{fid}.txt"))
+                    anno = read_label(os.path.join(ds._ldir, f"{fid}.txt"), calib)
+                    keep = np.isin(anno["name"], ds.classes)
+                    bx = anno["boxes_3d"][keep][:max_gt]
+                    lb = np.asarray(
+                        [_CLS_TO_ID.get(n, -1) for n in anno["name"][keep][:max_gt]],
+                        np.int32,
+                    )
+                    all_boxes.append(bx)
+                    all_labels.append(lb)
+                    n_boxes.append(len(bx))
+                boxes_pad = np.zeros((batch_size, max_gt, 7), np.float32)
+                labels_pad = np.zeros((batch_size, max_gt), np.int32)
+                for b, (bx, lb) in enumerate(zip(all_boxes, all_labels)):
+                    boxes_pad[b, : len(bx)] = bx
+                    labels_pad[b, : len(lb)] = lb
+                pts, pmask, box_keep, counts = native.prepare_batch(
+                    paths, boxes_pad, np.asarray(n_boxes, np.int32), pcr,
+                    max_points=num_points,
+                    seed=int(rng.randint(0, 2**31)),
+                    augment=augment,
+                )
+                gmask = box_keep & (
+                    np.arange(max_gt)[None, :] < np.asarray(n_boxes)[:, None]
+                )
+                yield PointCloudBatch(
+                    jnp.asarray(pts), jnp.asarray(pmask),
+                    jnp.asarray(boxes_pad), jnp.asarray(labels_pad),
+                    jnp.asarray(gmask),
+                )
+                continue
             samples = []
             for j in idxs:
                 s = ds.get(int(j))

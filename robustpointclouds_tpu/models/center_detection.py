@@ -1,0 +1,270 @@
+"""CenterPoint target generation, losses, and decoding (functional, jittable).
+
+The mmdet3d `CenterHead.loss`/`predict_by_feat` counterpart the reference's
+NuScenes path exercises through AdversarialCenterPoint
+(models/detectors/adversarial_centerpoint.py:117-224). Static shapes
+throughout: each task carries up to `max_objs` targets with a validity mask;
+decode = per-task dense top-k + circle NMS (the reference checkpoint's
+`circlenms` variant, configs/adversarial/adversarial-centerpoint_voxel-nuscenes.py:88).
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import losses as loss_ops
+from ..ops import nms as nms_ops
+
+
+class CenterHeadConfig(NamedTuple):
+    tasks: Tuple[Tuple[str, ...], ...]
+    point_cloud_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    voxel_size: Tuple[float, float] = (0.1, 0.1)     # xy only (BEV)
+    out_factor: int = 8                               # BEV stride of the head
+    max_objs: int = 100
+    gaussian_overlap: float = 0.1
+    min_radius: int = 2
+    heatmap_weight: float = 1.0
+    bbox_weight: float = 0.25
+    code_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2)
+    # test cfg
+    score_thr: float = 0.1
+    nms_pre: int = 500
+    max_per_task: int = 83
+    circle_radius: float = 4.0
+
+    @property
+    def num_classes(self) -> int:
+        return sum(len(t) for t in self.tasks)
+
+    def class_to_task(self):
+        """class id -> (task idx, idx within task)."""
+        mapping = []
+        for t, names in enumerate(self.tasks):
+            for j in range(len(names)):
+                mapping.append((t, j))
+        return mapping
+
+
+def gaussian_radius(dx: jnp.ndarray, dy: jnp.ndarray, min_overlap: float) -> jnp.ndarray:
+    """CornerNet radius rule on BEV extents (in feature cells)."""
+    a1 = 1.0
+    b1 = dy + dx
+    c1 = dx * dy * (1 - min_overlap) / (1 + min_overlap)
+    sq1 = jnp.sqrt(jnp.maximum(b1**2 - 4 * a1 * c1, 0.0))
+    r1 = (b1 + sq1) / 2
+
+    a2 = 4.0
+    b2 = 2 * (dy + dx)
+    c2 = (1 - min_overlap) * dx * dy
+    sq2 = jnp.sqrt(jnp.maximum(b2**2 - 4 * a2 * c2, 0.0))
+    r2 = (b2 + sq2) / 2
+
+    a3 = 4 * min_overlap
+    b3 = -2 * min_overlap * (dy + dx)
+    c3 = (min_overlap - 1) * dx * dy
+    sq3 = jnp.sqrt(jnp.maximum(b3**2 - 4 * a3 * c3, 0.0))
+    r3 = (b3 + sq3) / 2
+    return jnp.minimum(jnp.minimum(r1, r2), r3)
+
+
+def _splat_heatmap(
+    heatmap: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray, radius: jnp.ndarray,
+    cls_in_task: jnp.ndarray, valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Draw gaussians for up to max_objs objects onto [H, W, C] via a dense
+    per-object field capped to a static window (vectorized over objects)."""
+    H, W, C = heatmap.shape
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+
+    def one(hm, args):
+        cxi, cyi, r, c, v = args
+        sigma = jnp.maximum(r, 1.0) / 3.0
+        g = jnp.exp(-(((xs - cxi) ** 2) + ((ys - cyi) ** 2)) / (2 * sigma**2))
+        g = jnp.where(g < jnp.exp(-4.5), 0.0, g)  # cut at 3 sigma
+        g = jnp.where(v, g, 0.0)
+        onehot = jax.nn.one_hot(c, C)
+        return jnp.maximum(hm, g[:, :, None] * onehot[None, None, :]), None
+
+    hm, _ = jax.lax.scan(one, heatmap, (cx, cy, radius, cls_in_task, valid))
+    return hm
+
+
+def centerpoint_targets_single(
+    gt_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    gt_vel: jnp.ndarray,
+    feat_size: Tuple[int, int],
+    cfg: CenterHeadConfig,
+):
+    """Targets for one sample: per task a heatmap [H,W,C_t] and up to
+    max_objs regression rows (anno_box 10-dim: dxy, z, log-dims, sin/cos, vel)."""
+    H, W = feat_size
+    pcr = cfg.point_cloud_range
+    vx, vy = cfg.voxel_size
+    stride = cfg.out_factor
+    mapping = cfg.class_to_task()
+    task_of_class = jnp.asarray([m[0] for m in mapping], jnp.int32)
+    idx_in_task = jnp.asarray([m[1] for m in mapping], jnp.int32)
+
+    cx = (gt_boxes[:, 0] - pcr[0]) / (vx * stride)
+    cy = (gt_boxes[:, 1] - pcr[1]) / (vy * stride)
+    in_grid = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H) & gt_mask
+    dxf = gt_boxes[:, 3] / (vx * stride)
+    dyf = gt_boxes[:, 4] / (vy * stride)
+    radius = jnp.maximum(
+        jnp.floor(gaussian_radius(dxf, dyf, cfg.gaussian_overlap)), cfg.min_radius
+    )
+
+    safe_labels = jnp.clip(gt_labels, 0, cfg.num_classes - 1)
+    g_task = task_of_class[safe_labels]
+    g_cls = idx_in_task[safe_labels]
+
+    G = gt_boxes.shape[0]
+    M = cfg.max_objs
+    outs = []
+    for t, names in enumerate(cfg.tasks):
+        tmask = in_grid & (g_task == t)
+        # pack this task's objects to the front (static M rows)
+        order = jnp.argsort(~tmask)  # valid first
+        sel = order[:M]
+        v = tmask[sel]
+        bx, by = cx[sel], cy[sel]
+        ix = jnp.clip(bx.astype(jnp.int32), 0, W - 1)
+        iy = jnp.clip(by.astype(jnp.int32), 0, H - 1)
+        boxes = gt_boxes[sel]
+        vel = gt_vel[sel]
+        anno = jnp.concatenate(
+            [
+                (bx - ix)[:, None], (by - iy)[:, None],
+                boxes[:, 2:3],
+                jnp.log(jnp.maximum(boxes[:, 3:6], 1e-3)),
+                jnp.sin(boxes[:, 6:7]), jnp.cos(boxes[:, 6:7]),
+                vel,
+            ],
+            axis=1,
+        )  # [M, 10]
+        hm = _splat_heatmap(
+            jnp.zeros((H, W, len(names))), bx, by, radius[sel], g_cls[sel], v
+        )
+        # exact 1.0 at the center cell marks positives for the focal loss
+        flat_pos = iy * W + ix
+        hm_flat = hm.reshape(H * W, len(names))
+        hm_flat = hm_flat.at[
+            jnp.where(v, flat_pos, H * W), jnp.where(v, g_cls[sel], 0)
+        ].max(jnp.where(v, 1.0, 0.0).astype(hm.dtype)[:M])
+        hm = hm_flat[: H * W].reshape(H, W, len(names))
+        outs.append({"heatmap": hm, "anno": anno, "pos": flat_pos, "mask": v})
+    return outs
+
+
+def centerpoint_loss(
+    preds: Sequence[Dict[str, jnp.ndarray]],
+    gt_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    gt_vel: jnp.ndarray,
+    cfg: CenterHeadConfig,
+) -> Dict[str, jnp.ndarray]:
+    """Batched CenterPoint loss over all tasks."""
+    B, H, W = preds[0]["heatmap"].shape[:3]
+    tgt_fn = jax.vmap(
+        lambda b, l, m, v: centerpoint_targets_single(b, l, m, v, (H, W), cfg)
+    )
+    targets = tgt_fn(gt_boxes, gt_labels, gt_mask, gt_vel)
+
+    total_hm = jnp.float32(0.0)
+    total_bbox = jnp.float32(0.0)
+    logs: Dict[str, jnp.ndarray] = {}
+    cw = jnp.asarray(cfg.code_weights)
+    for t, pred in enumerate(preds):
+        tgt = targets[t]
+        num_pos = jnp.maximum(jnp.sum(tgt["mask"]), 1.0)
+        hm_pred = jax.nn.sigmoid(pred["heatmap"])
+        l_hm = loss_ops.gaussian_focal_loss(hm_pred, tgt["heatmap"], avg_factor=num_pos)
+
+        # gather dense regression maps at the positive cells
+        reg_map = jnp.concatenate(
+            [pred["reg"], pred["height"], pred["dim"], pred["rot"], pred["vel"]], -1
+        ).reshape(B, H * W, 10)
+        pos = jnp.clip(tgt["pos"], 0, H * W - 1)
+        pred_rows = jnp.take_along_axis(
+            reg_map, pos[..., None].astype(jnp.int32), axis=1
+        )  # [B, M, 10]
+        diff = jnp.abs(pred_rows - tgt["anno"]) * cw[None, None, :]
+        diff = jnp.where(jnp.isfinite(diff), diff, 0.0)
+        l_bbox = jnp.sum(diff * tgt["mask"][..., None]) / num_pos
+
+        total_hm = total_hm + cfg.heatmap_weight * l_hm
+        total_bbox = total_bbox + cfg.bbox_weight * l_bbox
+        logs[f"task{t}_loss_heatmap"] = l_hm
+        logs[f"task{t}_loss_bbox"] = l_bbox
+    logs["loss_heatmap"] = total_hm
+    logs["loss_bbox"] = total_bbox
+    return logs
+
+
+def centerpoint_decode(
+    preds: Sequence[Dict[str, jnp.ndarray]],
+    cfg: CenterHeadConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode all tasks -> padded detections (boxes9 [B,K,9], score, label, mask).
+
+    Box layout: (x, y, z, dx, dy, dz, yaw, vx, vy).
+    """
+    pcr = cfg.point_cloud_range
+    vx, vy = cfg.voxel_size
+    stride = cfg.out_factor
+    mapping = cfg.class_to_task()
+    base_cls = np.cumsum([0] + [len(t) for t in cfg.tasks])
+
+    all_boxes, all_scores, all_labels, all_valid = [], [], [], []
+    B, H, W = preds[0]["heatmap"].shape[:3]
+    for t, pred in enumerate(preds):
+        C = pred["heatmap"].shape[-1]
+        hm = jax.nn.sigmoid(pred["heatmap"]).reshape(B, H * W * C)
+        k = min(cfg.nms_pre, H * W * C)
+        scores, flat_idx = jax.lax.top_k(hm, k)
+        cell = flat_idx // C
+        cls = (flat_idx % C) + base_cls[t]
+        iy = (cell // W).astype(jnp.float32)
+        ix = (cell % W).astype(jnp.float32)
+
+        reg_map = jnp.concatenate(
+            [pred["reg"], pred["height"], pred["dim"], pred["rot"], pred["vel"]], -1
+        ).reshape(B, H * W, 10)
+        rows = jnp.take_along_axis(reg_map, cell[..., None], axis=1)  # [B,k,10]
+        x = (ix + rows[..., 0]) * vx * stride + pcr[0]
+        y = (iy + rows[..., 1]) * vy * stride + pcr[1]
+        z = rows[..., 2]
+        dims = jnp.exp(jnp.clip(rows[..., 3:6], -8.0, 8.0))
+        yaw = jnp.arctan2(rows[..., 6], rows[..., 7])
+        vel = rows[..., 8:10]
+        boxes = jnp.concatenate(
+            [x[..., None], y[..., None], z[..., None], dims, yaw[..., None], vel], -1
+        )
+        valid = scores > cfg.score_thr
+
+        def nms_one(bx, sc, vl):
+            keep = nms_ops.circle_nms(bx[:, :2], vl, cfg.circle_radius)
+            return keep
+
+        keep = jax.vmap(nms_one)(boxes, scores, valid)
+        m = min(cfg.max_per_task, k)
+        kept_scores = jnp.where(keep, scores, -1.0)
+        top_s, sel = jax.lax.top_k(kept_scores, m)
+        all_boxes.append(jnp.take_along_axis(boxes, sel[..., None], axis=1))
+        all_scores.append(top_s)
+        all_labels.append(jnp.take_along_axis(cls, sel, axis=1))
+        all_valid.append(top_s > 0.0)
+
+    boxes = jnp.concatenate(all_boxes, axis=1)
+    scores = jnp.concatenate(all_scores, axis=1)
+    labels = jnp.concatenate(all_labels, axis=1)
+    valid = jnp.concatenate(all_valid, axis=1)
+    return boxes, scores, labels.astype(jnp.int32), valid

@@ -1,0 +1,170 @@
+"""CenterPoint / AdversarialCenterPoint — the NuScenes detector family.
+
+The reference's `AdversarialCenterPoint` subclasses mmdet3d's CenterPoint and
+perturbs raw 5D voxels (x, y, z, intensity, timestamp) before the pts voxel
+encoder with the same epoch>=3 gate (models/detectors/adversarial_centerpoint.py:43-115);
+its adversarial loss uses an epoch-ramped weight
+`-min(w*epoch/10, w) * det_total` plus plain L2 regularization (:160-171).
+
+Architecture (centerpoint_voxel01_second_secfpn_head-dcn-circlenms base):
+voxel 0.1x0.1x0.2 over [-51.2, 51.2]^2 x [-5, 3], sparse shape [41,1024,1024],
+SparseEncoder -> SECOND -> SECONDFPN -> CenterHead (plain-conv variant of the
+DCN head), circle NMS. One jit region end to end, same gradient-reversal
+min-max construction as voxelnet.py.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.registry import MODELS
+from ..nn import (
+    HardSimpleVFE,
+    SECONDBackbone,
+    SECONDFPN,
+    SparseEncoder,
+    VoxelPerturber,
+)
+from ..nn.center_head import NUSCENES_TASKS, CenterHead
+from ..ops import sparse
+from ..ops.grad import grad_scale
+from ..ops.voxelize import VoxelizerConfig, voxelize_batch
+from .center_detection import CenterHeadConfig
+
+NUSCENES_CLASSES = tuple(c for task in NUSCENES_TASKS for c in task)
+
+
+class CenterPointConfig(NamedTuple):
+    voxelizer: VoxelizerConfig = VoxelizerConfig(
+        point_cloud_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0),
+        voxel_size=(0.1, 0.1, 0.2),
+        max_points_per_voxel=10,
+        max_voxels=60000,
+    )
+    num_point_features: int = 5  # x, y, z, intensity, timestamp
+    tasks: Tuple[Tuple[str, ...], ...] = NUSCENES_TASKS
+    head: CenterHeadConfig = CenterHeadConfig(tasks=NUSCENES_TASKS)
+    adversary: Optional[Dict[str, Any]] = {
+        "sensor_error_bound": 0.2,
+        "use_spatial_attention": True,
+        "hidden_channels": (16, 32, 64),
+    }
+    adversarial_loss_weight: float = 0.05
+    regularization_weight: float = 0.005
+    adversary_start_epoch: int = 3
+
+    @property
+    def bev_feature_size(self) -> Tuple[int, int]:
+        nx, ny, _ = self.voxelizer.grid_size
+        return (ny // 8, nx // 8)
+
+
+class CenterPointOutputs(NamedTuple):
+    task_preds: Tuple[Dict[str, jnp.ndarray], ...]
+    adv_aux: Dict[str, jnp.ndarray]
+
+
+@MODELS.register_module()
+@MODELS.register_module(name="CenterPoint")
+class AdversarialCenterPoint(nn.Module):
+    cfg: CenterPointConfig = CenterPointConfig()
+
+    def setup(self):
+        vz = self.cfg.voxelizer
+        self.pts_middle_encoder = SparseEncoder(
+            sparse_shape=vz.sparse_shape, in_channels=self.cfg.num_point_features
+        )
+        self.pts_backbone = SECONDBackbone()
+        self.pts_neck = SECONDFPN()
+        self.pts_bbox_head = CenterHead(tasks=self.cfg.tasks)
+        if self.cfg.adversary is not None:
+            self.adversary = VoxelPerturber(
+                num_features=self.cfg.num_point_features,
+                **{k: tuple(v) if isinstance(v, (list, tuple)) else v
+                   for k, v in self.cfg.adversary.items()},
+            )
+        else:
+            self.adversary = None
+
+    def __call__(
+        self,
+        points: jnp.ndarray,
+        points_mask: jnp.ndarray,
+        train: bool,
+        epoch: jnp.ndarray | int = 0,
+        attack: bool = False,
+        adv_grad_scale: jnp.ndarray | float = -1.0,
+    ) -> CenterPointOutputs:
+        """points [B, P, 5] (x, y, z, intensity, timestamp)."""
+        vz = self.cfg.voxelizer
+        f = self.cfg.num_point_features
+        res = voxelize_batch(points[..., :f], points_mask, vz)
+        grid, order = sparse.with_batch_axis(res.coords, res.voxel_mask, vz.sparse_shape)
+
+        voxels = res.voxels
+        adv_aux = {
+            "l2_norm": jnp.float32(0.0),
+            "l2_percentage": jnp.float32(0.0),
+            "intensity_loss": jnp.float32(0.0),
+            "bias_loss": jnp.float32(0.0),
+            "imbalance_loss": jnp.float32(0.0),
+            "max_perturbation": jnp.float32(0.0),
+        }
+        if self.adversary is not None and (train or attack):
+            b, v, t, _ = voxels.shape
+            flat = voxels.reshape(b * v * t, f)
+            flat_mask = res.point_mask.reshape(b * v * t)
+            perturbed, aux = self.adversary(flat, flat_mask, train, attack)
+            gate = jnp.minimum(
+                jnp.asarray(attack or False, jnp.float32)
+                + (jnp.asarray(epoch, jnp.float32) >= self.cfg.adversary_start_epoch),
+                1.0,
+            )
+            delta = grad_scale(
+                perturbed.reshape(b, v, t, f) - voxels, jnp.asarray(adv_grad_scale)
+            )
+            voxels = voxels + gate * delta
+            adv_aux = {k: gate * v_ for k, v_ in aux.items()}
+
+        feats = HardSimpleVFE(voxels, res.point_mask)
+        feats = feats.reshape(-1, f)[order]
+        bev = self.pts_middle_encoder(feats, grid, train)
+        outs = self.pts_backbone(bev, train)
+        fused = self.pts_neck(outs, train)
+        task_preds = self.pts_bbox_head(fused, train)
+        return CenterPointOutputs(task_preds, adv_aux)
+
+
+def centerpoint_adversary_terms(
+    det_losses: Dict[str, jnp.ndarray],
+    adv_aux: Dict[str, jnp.ndarray],
+    epoch: jnp.ndarray | float,
+    adversarial_loss_weight: float = 0.05,
+    regularization_weight: float = 0.005,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """(adv_direct_terms, grl_scale, logs) for the CenterPoint objective.
+
+    Reference formula (adversarial_centerpoint.py:160-171, 239-249):
+    loss_adversarial = -min(w * epoch/10, w) * clip_total(det); plus
+    reg_weight * l2. With the gradient-reversal construction the det part is
+    carried by scaling the delta's cotangent by -min(w*epoch/10, w).
+    """
+    w = adversarial_loss_weight
+    ramp = jnp.minimum(w * jnp.asarray(epoch, jnp.float32) / 10.0, w)
+    l2 = adv_aux["l2_norm"]
+    loss_reg = regularization_weight * l2
+
+    det_total = jnp.float32(0.0)
+    for k, v in det_losses.items():
+        if k.startswith("loss"):
+            det_total = det_total + jnp.clip(jnp.nan_to_num(v), 0.0, 100.0)
+    det_total = jnp.clip(det_total, 0.0, 500.0)
+    logs = {
+        "loss_adversarial": -jax.lax.stop_gradient(ramp * det_total),
+        "loss_l2_regularization": loss_reg,
+        "perturbation_l2_norm": jax.lax.stop_gradient(l2),
+    }
+    return loss_reg, -ramp, logs

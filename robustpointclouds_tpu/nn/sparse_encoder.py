@@ -16,9 +16,13 @@ Architecture (mmdet3d defaults for SECOND/CenterPoint):
     conv_out: strided k(3,1,1) s(2,1,1) (->128), then dense scatter and the
     remaining z-planes fold into channels: [B, H/8, W/8, 2*128].
 
-The whole batch is ONE sparse array (4D coords with batch as the leading
-axis), so convs are single big matmuls and BatchNorm statistics span the full
-batch exactly like the reference's BN1d.
+TPU design notes:
+  * The whole batch is ONE sparse array (4D coords with batch as the leading
+    axis): single big sorts/searches/matmuls, and BatchNorm statistics span
+    the full batch exactly like the reference's BN1d.
+  * The submanifold neighbor index is computed ONCE per grid resolution and
+    shared by every subm conv on that grid — index construction, not the
+    matmul, dominated a naive per-layer implementation.
 """
 from __future__ import annotations
 
@@ -32,33 +36,24 @@ import numpy as np
 from ..ops import sparse
 from .layers import MaskedBatchNorm
 
+_SUBM_KERNEL = (1, 3, 3, 3)  # batch axis has extent 1
+
 
 class SparseConvBlock(nn.Module):
-    """One sparse conv (submanifold or strided) + masked BN + ReLU."""
+    """One sparse conv (gather-matmul) + masked BN + ReLU.
+
+    For submanifold convs, pass the grid-shared `idx` from
+    `sparse.neighbor_index`; for strided convs, pass the output grid and its
+    own idx.
+    """
 
     out_channels: int
-    kernel_size: Tuple[int, int, int] = (3, 3, 3)
-    stride: Tuple[int, int, int] = (1, 1, 1)
-    padding: Tuple[int, int, int] = (1, 1, 1)
-    subm: bool = True
-    out_cap: int = 0           # required when not subm
-    remat: bool = True          # recompute img2col in backward (saves HBM)
+    remat: bool = True  # recompute img2col in backward (saves HBM)
 
     @nn.compact
-    def __call__(self, feats, grid: sparse.SparseGrid, train: bool):
-        # batch axis: kernel 1 / stride 1 / pad 0
-        k4 = (1,) + tuple(self.kernel_size)
-        s4 = (1,) + tuple(self.stride)
-        p4 = (0,) + tuple(self.padding)
-        offs = sparse.kernel_offsets(k4)
-        ktaps = int(np.prod(k4))
+    def __call__(self, feats, idx, out_mask, train: bool):
+        n_out, ktaps = idx.shape
         cin = feats.shape[-1]
-
-        if self.subm:
-            out_grid = grid
-        else:
-            out_grid = sparse.downsample_sites(grid, k4, s4, p4, self.out_cap)
-
         kernel = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
@@ -66,17 +61,14 @@ class SparseConvBlock(nn.Module):
         )
 
         def conv(f):
-            gathered = sparse.gather_neighbors(
-                f, grid, out_grid.coords, out_grid.mask, offs, s4, p4
-            )
-            col = gathered.reshape(gathered.shape[0], ktaps * cin)
+            feats_pad = jnp.concatenate([f, jnp.zeros((1, cin), f.dtype)], 0)
+            col = feats_pad[idx].reshape(n_out, ktaps * cin)
             return jnp.dot(col, kernel, preferred_element_type=jnp.float32)
 
         out = jax.checkpoint(conv)(feats) if self.remat else conv(feats)
-        out = MaskedBatchNorm()(out, out_grid.mask, train)
+        out = MaskedBatchNorm()(out, out_mask, train)
         out = nn.relu(out)
-        out = jnp.where(out_grid.mask[:, None], out, 0.0)
-        return out, out_grid
+        return jnp.where(out_mask[:, None], out, 0.0)
 
 
 class SparseEncoder(nn.Module):
@@ -103,36 +95,54 @@ class SparseEncoder(nn.Module):
             BEV map [B, H/8, W/8, 2*out_channels].
         """
         n_cap = voxel_features.shape[0]
-        x, g = SparseConvBlock(self.base_channels, name="conv_input")(
-            voxel_features, grid, train
-        )
+        subm_offs = sparse.kernel_offsets(_SUBM_KERNEL)
+
+        def subm_idx(g: sparse.SparseGrid):
+            return sparse.neighbor_index(
+                g, g.coords, g.mask, subm_offs, (1, 1, 1, 1), (0, 1, 1, 1)
+            )
+
+        x = voxel_features
+        g = grid
+        idx = subm_idx(g)
+        x = SparseConvBlock(self.base_channels, name="conv_input")(x, idx, g.mask, train)
         for i, stage in enumerate(self.encoder_channels):
             for j, ch in enumerate(stage):
                 if i != 0 and j == 0:
                     # stage 4 uses z-padding 0 (mmdet3d encoder_paddings)
-                    pad = (0, 1, 1) if i == len(self.encoder_channels) - 1 else (1, 1, 1)
-                    x, g = SparseConvBlock(
-                        ch,
-                        stride=(2, 2, 2),
-                        padding=pad,
-                        subm=False,
+                    zpad = 0 if i == len(self.encoder_channels) - 1 else 1
+                    k4, s4, p4 = (
+                        (1, 3, 3, 3),
+                        (1, 2, 2, 2),
+                        (0, zpad, 1, 1),
+                    )
+                    new_g = sparse.downsample_sites(
+                        g, k4, s4, p4,
                         out_cap=max(int(n_cap * self.stage_cap_factors[i]), 1),
-                        name=f"stage{i}_down",
-                    )(x, g, train)
+                    )
+                    down_idx = sparse.neighbor_index(
+                        g, new_g.coords, new_g.mask,
+                        sparse.kernel_offsets(k4), s4, p4,
+                    )
+                    x = SparseConvBlock(ch, name=f"stage{i}_down")(
+                        x, down_idx, new_g.mask, train
+                    )
+                    g = new_g
+                    idx = subm_idx(g)
                 else:
-                    x, g = SparseConvBlock(ch, name=f"stage{i}_subm{j}")(x, g, train)
+                    x = SparseConvBlock(ch, name=f"stage{i}_subm{j}")(x, idx, g.mask, train)
 
-        x, g = SparseConvBlock(
-            self.out_channels,
-            kernel_size=(3, 1, 1),
-            stride=(2, 1, 1),
-            padding=(0, 0, 0),
-            subm=False,
-            out_cap=max(int(n_cap * self.out_cap_factor), 1),
-            name="conv_out",
-        )(x, g, train)
+        # conv_out: kernel (3,1,1) stride (2,1,1) padding 0 over (z,y,x)
+        k4, s4, p4 = (1, 3, 1, 1), (1, 2, 1, 1), (0, 0, 0, 0)
+        out_g = sparse.downsample_sites(
+            g, k4, s4, p4, out_cap=max(int(n_cap * self.out_cap_factor), 1)
+        )
+        out_idx = sparse.neighbor_index(
+            g, out_g.coords, out_g.mask, sparse.kernel_offsets(k4), s4, p4
+        )
+        x = SparseConvBlock(self.out_channels, name="conv_out")(x, out_idx, out_g.mask, train)
 
-        dense = sparse.scatter_to_dense(x, g)  # [B, Dz, H', W', C]
+        dense = sparse.scatter_to_dense(x, out_g)  # [B, Dz, H', W', C]
         b, dz, h, w, c = dense.shape
         # fold remaining z planes into channels: [B, H', W', Dz*C]
         return jnp.transpose(dense, (0, 2, 3, 1, 4)).reshape(b, h, w, dz * c)

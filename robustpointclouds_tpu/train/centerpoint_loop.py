@@ -1,0 +1,148 @@
+"""CenterPoint min-max trainer (NuScenes path).
+
+Same fused-step construction as train/loop.py but with CenterPoint's loss
+stack and the reference's epoch-ramped adversarial weight
+(-min(w*epoch/10, w), models/detectors/adversarial_centerpoint.py:160-163)
+carried by the gradient-reversal scale. Reference recipe: batch 1, AdamW
+lr=5e-5, clip 1.0, warm start from a pretrained checkpoint
+(configs/adversarial/adversarial-centerpoint_voxel-nuscenes.py:52-88).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from ..data.structures import PointCloudBatch
+from ..models.center_detection import centerpoint_loss
+from ..models.centerpoint import (
+    AdversarialCenterPoint,
+    CenterPointConfig,
+    centerpoint_adversary_terms,
+)
+from .loop import TrainConfig, TrainState, make_optimizers, split_adversary_mask
+
+
+class CenterPointTrainer:
+    def __init__(
+        self,
+        model_cfg: CenterPointConfig = CenterPointConfig(),
+        train_cfg: TrainConfig = TrainConfig(
+            learning_rate=5e-5, grad_clip_norm=1.0, adversary_lr_mult=1.0
+        ),
+    ):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.model = AdversarialCenterPoint(cfg=model_cfg)
+        self.det_tx, self.adv_tx = make_optimizers(train_cfg)
+        self._train_step = None
+        self._eval_step = None
+        self._attack_step = None
+
+    def init_state(self, rng: jax.Array, sample_batch: PointCloudBatch) -> TrainState:
+        init_fn = jax.jit(lambda r, p, m: self.model.init(r, p, m, True, 0))
+        variables = init_fn(rng, sample_batch.points, sample_batch.points_mask)
+        params = variables["params"]
+        return TrainState(
+            params=params,
+            batch_stats=variables.get("batch_stats", FrozenDict()),
+            opt_state_det=self.det_tx.init(params),
+            opt_state_adv=self.adv_tx.init(params),
+            step=jnp.int32(0),
+            nan_count=jnp.int32(0),
+            consecutive_nan=jnp.int32(0),
+            lr_scale=jnp.float32(1.0),
+            adversary_enabled=jnp.float32(1.0),
+        )
+
+    def _loss_fn(self, params, batch_stats, batch, gt_vel, epoch, adv_enabled):
+        # epoch-ramped GRL scale (reference's adaptive_weight)
+        w = self.model_cfg.adversarial_loss_weight
+        ramp = jnp.minimum(w * jnp.asarray(epoch, jnp.float32) / 10.0, w)
+        outs, mutated = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch.points,
+            batch.points_mask,
+            True,
+            epoch,
+            False,
+            -ramp * adv_enabled,
+            mutable=["batch_stats"],
+        )
+        det = centerpoint_loss(
+            outs.task_preds, batch.gt_boxes, batch.gt_labels, batch.gt_mask,
+            gt_vel, self.model_cfg.head,
+        )
+        det_total = det["loss_heatmap"] + det["loss_bbox"]
+        adv_direct, _, adv_logs = centerpoint_adversary_terms(
+            det, outs.adv_aux, epoch,
+            self.model_cfg.adversarial_loss_weight,
+            self.model_cfg.regularization_weight,
+        )
+        total = det_total + adv_enabled * adv_direct
+        is_nan = ~jnp.isfinite(total)
+        total = jnp.where(is_nan, 0.0, total)
+        logs = {
+            "loss": det_total,
+            "loss_heatmap": det["loss_heatmap"],
+            "loss_bbox": det["loss_bbox"],
+            **adv_logs,
+        }
+        return total, (mutated.get("batch_stats", batch_stats), logs, is_nan)
+
+    def _step_impl(self, state: TrainState, batch: PointCloudBatch, gt_vel, epoch):
+        grads, (new_stats, logs, is_nan) = jax.grad(self._loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, gt_vel, epoch, state.adversary_enabled
+        )
+        adv_mask = split_adversary_mask(state.params)
+        det_up, new_det = self.det_tx.update(grads, state.opt_state_det, state.params)
+        adv_up, new_adv = self.adv_tx.update(grads, state.opt_state_adv, state.params)
+        updates = jax.tree_util.tree_map(
+            lambda m, d, a: jnp.where(m, a, d), adv_mask, det_up, adv_up
+        )
+        scale = state.lr_scale * (1.0 - is_nan.astype(jnp.float32))
+        updates = jax.tree_util.tree_map(lambda u: u * scale, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        nan_i = is_nan.astype(jnp.int32)
+        return (
+            TrainState(
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state_det=new_det,
+                opt_state_adv=new_adv,
+                step=state.step + 1,
+                nan_count=state.nan_count + nan_i,
+                consecutive_nan=(state.consecutive_nan + nan_i) * nan_i,
+                lr_scale=state.lr_scale,
+                adversary_enabled=state.adversary_enabled,
+            ),
+            logs,
+        )
+
+    def compile(self, donate: bool = True):
+        kwargs = dict(donate_argnums=(0,)) if donate else {}
+        self._train_step = jax.jit(self._step_impl, **kwargs)
+        return self
+
+    def train_step(self, state, batch, gt_vel, epoch: int):
+        if self._train_step is None:
+            self.compile()
+        return self._train_step(state, batch, jnp.asarray(gt_vel), jnp.float32(epoch))
+
+    def forward_eval(self, state, batch, attack: bool = False):
+        if self._eval_step is None:
+            self._eval_step = jax.jit(
+                lambda p, bs, pts, m: self.model.apply(
+                    {"params": p, "batch_stats": bs}, pts, m, False, 100, False
+                )
+            )
+            self._attack_step = jax.jit(
+                lambda p, bs, pts, m: self.model.apply(
+                    {"params": p, "batch_stats": bs}, pts, m, False, 100, True
+                )
+            )
+        fn = self._attack_step if attack else self._eval_step
+        return fn(state.params, state.batch_stats, batch.points, batch.points_mask)
