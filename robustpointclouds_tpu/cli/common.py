@@ -89,6 +89,7 @@ def run_training(
     checkpoint_interval: int = 5,
     max_keep: int = 10,
     seed: int = 0,
+    profile_dir: Optional[str] = None,
 ) -> Dict:
     """The full training loop (reference scenario:
     train_kitti_3class_adversarial.py --validate)."""
@@ -118,7 +119,15 @@ def run_training(
         epoch_t0 = time.time()
         n_frames = 0
         for i, batch in enumerate(epoch_loader(epoch)):
+            # device-level trace of steps 10-13 of the first epoch (the
+            # reference's IterTimerHook equivalent, plus full XLA timelines)
+            if profile_dir and epoch == start_epoch and i == 10:
+                jax.profiler.start_trace(profile_dir)
             state, logs = trainer.train_step(state, batch, epoch=epoch)
+            if profile_dir and epoch == start_epoch and i == 13:
+                jax.block_until_ready(logs["loss"])
+                jax.profiler.stop_trace()
+                print(f"[profile] wrote trace to {profile_dir}")
             n_frames += batch.points.shape[0]
             if (i + 1) % log_interval == 0 or i == 0:
                 logs = {k: float(v) for k, v in logs.items()}

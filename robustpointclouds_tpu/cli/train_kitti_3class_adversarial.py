@@ -35,6 +35,8 @@ def parse_args():
     p.add_argument("--tiny", action="store_true",
                    help="debug: shrink grid/voxel caps for fast smoke runs")
     p.add_argument("--cpu", action="store_true", help="debug: force CPU backend")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler device trace of steps 10-13")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cfg-options", nargs="*", default=[],
                    help="dotted config overrides key=value")
@@ -139,6 +141,7 @@ def main():
         checkpoint_interval=5,
         max_keep=10,
         seed=args.seed,
+        profile_dir=args.profile,
     )
     print(f"[done] work_dir={out['work_dir']}")
     return out
