@@ -22,11 +22,14 @@ def parse_args():
     p.add_argument("--data-root", default="data/kitti")
     p.add_argument("--batch-size", type=int, default=6)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--tiny", action="store_true", help="shrunken grid for smoke runs")
+    p.add_argument("--cpu", action="store_true")
     p.add_argument("--limit", type=int, default=None, help="max val frames")
     return p.parse_args()
 
 
-def evaluate_checkpoint(work_dir, data_root, batch_size, synthetic, limit, attack=False):
+def evaluate_checkpoint(work_dir, data_root, batch_size, synthetic, limit,
+                        attack=False, tiny=False):
     import jax
 
     from ..models import VoxelNetConfig
@@ -35,16 +38,31 @@ def evaluate_checkpoint(work_dir, data_root, batch_size, synthetic, limit, attac
     from .common import run_evaluation, synthetic_loader
 
     model_cfg = VoxelNetConfig()
+    num_points = 20000
+    if tiny:
+        from ..ops.voxelize import VoxelizerConfig
+
+        model_cfg = model_cfg._replace(
+            voxelizer=VoxelizerConfig(
+                point_cloud_range=(0.0, -8.0, -3.0, 16.0, 8.0, 1.0),
+                voxel_size=(0.5, 0.5, 0.125), max_points_per_voxel=3, max_voxels=512,
+            ),
+            anchor_ranges=tuple((0, -8.0, -0.6, 16.0, 8.0, -0.6) for _ in range(3)),
+        )
+        num_points = 512
     trainer = Trainer(model_cfg=model_cfg, train_cfg=TrainConfig())
 
+    pcr = model_cfg.voxelizer.point_cloud_range
     if synthetic:
-        batches = list(synthetic_loader(batch_size, 4, seed=999)(0))
+        batches = list(synthetic_loader(batch_size, 4, num_points=num_points,
+                                        seed=999, point_range=pcr)(0))
     else:
         from ..data.kitti import kitti_available, kitti_val_loader
 
         if not kitti_available(data_root):
             print(f"[data] KITTI not found under {data_root!r}; using synthetic val")
-            batches = list(synthetic_loader(batch_size, 4, seed=999)(0))
+            batches = list(synthetic_loader(batch_size, 4, num_points=num_points,
+                                            seed=999, point_range=pcr)(0))
         else:
             batches = kitti_val_loader(data_root, batch_size, model_cfg, limit=limit)
 
@@ -64,13 +82,18 @@ def evaluate_checkpoint(work_dir, data_root, batch_size, synthetic, limit, attac
 
 def main():
     args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     results = {}
     if args.mode in ("clean", "both"):
         print("=" * 60 + "\nCLEAN BASELINE EVALUATION\n" + "=" * 60)
         wd = args.checkpoint or "work_dirs/kitti_3class_baseline"
         try:
             results["clean"] = evaluate_checkpoint(
-                wd, args.data_root, args.batch_size, args.synthetic, args.limit
+                wd, args.data_root, args.batch_size, args.synthetic, args.limit,
+                tiny=args.tiny,
             )
             print(json.dumps(results["clean"], indent=2))
         except Exception as e:  # keep the reference's per-mode SUCCESS/FAIL table
@@ -81,7 +104,8 @@ def main():
         wd = args.checkpoint or args.work_dir
         try:
             results["adversarial"] = evaluate_checkpoint(
-                wd, args.data_root, args.batch_size, args.synthetic, args.limit
+                wd, args.data_root, args.batch_size, args.synthetic, args.limit,
+                tiny=args.tiny,
             )
             print(json.dumps(results["adversarial"], indent=2))
         except Exception as e:

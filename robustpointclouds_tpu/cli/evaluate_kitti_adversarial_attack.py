@@ -21,24 +21,32 @@ def parse_args():
     p.add_argument("--data-root", default="data/kitti")
     p.add_argument("--batch-size", type=int, default=6)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--cpu", action="store_true")
     p.add_argument("--limit", type=int, default=None)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from .evaluate_kitti_3class import evaluate_checkpoint
 
     wd = args.checkpoint or args.work_dir
     print("=" * 60 + "\nCLEAN EVALUATION (for comparison)\n" + "=" * 60)
     clean = evaluate_checkpoint(
-        wd, args.data_root, args.batch_size, args.synthetic, args.limit, attack=False
+        wd, args.data_root, args.batch_size, args.synthetic, args.limit,
+        attack=False, tiny=args.tiny,
     )
     print(json.dumps(clean, indent=2))
 
     print("=" * 60 + "\nATTACK EVALUATION (forced perturbations, eval bounds)\n" + "=" * 60)
     attacked = evaluate_checkpoint(
-        wd, args.data_root, args.batch_size, args.synthetic, args.limit, attack=True
+        wd, args.data_root, args.batch_size, args.synthetic, args.limit,
+        attack=True, tiny=args.tiny,
     )
     print(json.dumps(attacked, indent=2))
 

@@ -109,20 +109,64 @@ def kernel_offsets(kernel_size: Sequence[int]) -> np.ndarray:
     return np.stack([g.ravel() for g in grids], axis=1).astype(np.int32)
 
 
+_PACK_CAP = (1 << 30) - 1  # ids must fit 30 bits to pack (value, tag) in int32
+
+
+def _rank_and_hit(sorted_ids: jnp.ndarray, q: jnp.ndarray):
+    """(insertion rank, exact-hit) for every query via ONE key+payload sort —
+    per-query binary search gathers scalars, and each 4-byte load pads to a
+    full TPU tile (~10x slower measured).
+
+    Packs (value << 1 | is_table) into int32 so queries order before equal
+    table entries ('left' semantics). The hit test is fused into the same
+    pass: a query hits iff the next table key at-or-after it (reverse
+    cumulative min) equals its own value — no extra gather. Rank and hit ride
+    one packed scatter back to query order. Requires ids < 2^30 (checked by
+    the caller; KITTI's batched id space is ~5.5e8)."""
+    n = sorted_ids.shape[0]
+    m = q.shape[0]
+    keys = jnp.concatenate(
+        [
+            jnp.minimum(sorted_ids, _PACK_CAP) * 2 + 1,
+            jnp.minimum(q, _PACK_CAP) * 2,
+        ]
+    )
+    payload = jnp.concatenate(
+        [jnp.zeros((n,), jnp.int32), jnp.arange(1, m + 1, dtype=jnp.int32)]
+    )
+    keys_s, pay_s = jax.lax.sort((keys, payload), num_keys=1)
+    is_q = pay_s > 0
+    q_before_incl = jnp.cumsum(is_q.astype(jnp.int32))
+    ins = jnp.arange(n + m, dtype=jnp.int32) - (q_before_incl - 1)
+    table_keys = jnp.where(is_q, INT32_MAX, keys_s)
+    next_table = jax.lax.associative_scan(jnp.minimum, table_keys, reverse=True)
+    hit_sorted = (next_table == keys_s + 1) & is_q
+    packed = ins * 2 + hit_sorted.astype(jnp.int32)
+    out = (
+        jnp.zeros((m + 1,), jnp.int32)
+        .at[jnp.where(is_q, pay_s, 0)]
+        .set(jnp.where(is_q, packed, 0))[1:]
+    )
+    return out // 2, (out % 2) == 1
+
+
 def lookup(grid: SparseGrid, query_flat: jnp.ndarray) -> jnp.ndarray:
     """Find positions of query flat-ids in the grid. Misses -> N (one-past-end).
 
     query_flat: [...] int32. Returns int32 indices in [0, N].
-
-    Uses searchsorted(method='sort'): one fused sort of [table + queries]
-    instead of per-query binary search — binary search gathers scalars, which
-    on TPU pads every 4-byte load to a full tile (~10x slower measured).
     """
     n = grid.flat_ids.shape[0]
-    j = jnp.searchsorted(grid.flat_ids, query_flat, method="sort").astype(jnp.int32)
-    j_safe = jnp.clip(j, 0, n - 1)
-    hit = (grid.flat_ids[j_safe] == query_flat) & (query_flat != INT32_MAX)
-    return jnp.where(hit, j_safe, n)
+    shape = query_flat.shape
+    q = query_flat.reshape(-1)
+    id_space = int(np.prod([int(s) for s in grid.spatial_shape], dtype=np.int64))
+    if id_space < _PACK_CAP:
+        j, hit = _rank_and_hit(grid.flat_ids, q)
+        hit = hit & (q != INT32_MAX)
+    else:
+        j = jnp.searchsorted(grid.flat_ids, q, method="sort").astype(jnp.int32)
+        j_safe = jnp.clip(j, 0, n - 1)
+        hit = (grid.flat_ids[j_safe] == q) & (q != INT32_MAX)
+    return jnp.where(hit, jnp.clip(j, 0, n - 1), n).reshape(shape)
 
 
 def neighbor_index(
@@ -165,6 +209,40 @@ def neighbor_index(
         cols.append(jnp.where(valid, flat, INT32_MAX).astype(jnp.int32))
     queries = jnp.stack(cols, axis=1)  # [N, K]
     return lookup(in_grid, queries)
+
+
+def inverse_neighbor_index(
+    in_grid: SparseGrid,
+    out_grid: SparseGrid,
+    offsets: np.ndarray,
+    stride: Sequence[int],
+    padding: Sequence[int],
+) -> jnp.ndarray:
+    """For each INPUT site i and tap k: the output site o that reads i at tap
+    k (o = (i + padding - offset_k) / stride when divisible), or N_out.
+
+    This is the transpose of :func:`neighbor_index` for strided convs — it
+    turns the conv's backward scatter into a gather (ops/subm_conv.py).
+    Returns [N_in, K] int32 in [0, N_out].
+    """
+    offsets = np.asarray(offsets)
+    ndim = in_grid.ndim
+    out_strides = _strides_of(out_grid.spatial_shape)
+    cols = []
+    for k in range(offsets.shape[0]):
+        flat = None
+        valid = in_grid.mask
+        for a in range(ndim):
+            num = in_grid.coords[:, a] + int(padding[a]) - int(offsets[k, a])
+            sa = int(stride[a])
+            valid = valid & (num % sa == 0)
+            o = num // sa
+            valid = valid & (o >= 0) & (o < out_grid.spatial_shape[a])
+            term = o * int(out_strides[a])
+            flat = term if flat is None else flat + term
+        cols.append(jnp.where(valid, flat, INT32_MAX).astype(jnp.int32))
+    queries = jnp.stack(cols, axis=1)
+    return lookup(out_grid, queries)
 
 
 def gather_neighbors(

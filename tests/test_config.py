@@ -1,0 +1,77 @@
+import os
+
+import pytest
+
+from robustpointclouds_tpu.core import ADVERSARIES, Config, Registry
+
+
+@pytest.fixture
+def cfg_dir(tmp_path):
+    (tmp_path / "base.py").write_text(
+        "model = dict(type='X', depth=3, sub=dict(a=1, b=2))\nlr = 0.1\n"
+    )
+    (tmp_path / "child.py").write_text(
+        "_base_ = ['base.py']\nmodel = dict(depth=5)\nextra = True\n"
+    )
+    (tmp_path / "deleter.py").write_text(
+        "_base_ = ['base.py']\nmodel = dict(_delete_=True, type='Y')\n"
+    )
+    (tmp_path / "grandchild.py").write_text(
+        "_base_ = ['child.py']\nmodel = dict(sub=dict(b=9))\n"
+    )
+    return tmp_path
+
+
+class TestConfig:
+    def test_base_inheritance(self, cfg_dir):
+        c = Config.fromfile(str(cfg_dir / "child.py"))
+        assert c.model.type == "X" and c.model.depth == 5
+        assert c.model.sub.a == 1 and c.lr == 0.1 and c.extra
+
+    def test_two_level_chain(self, cfg_dir):
+        c = Config.fromfile(str(cfg_dir / "grandchild.py"))
+        assert c.model.depth == 5 and c.model.sub.b == 9 and c.model.sub.a == 1
+
+    def test_delete_semantics(self, cfg_dir):
+        c = Config.fromfile(str(cfg_dir / "deleter.py"))
+        assert dict(c.model) == {"type": "Y"}
+
+    def test_dotted_overrides(self, cfg_dir):
+        c = Config.fromfile(str(cfg_dir / "child.py"))
+        c.merge_from_options({"model.sub.a": 42, "new.key": "v"})
+        assert c.model.sub.a == 42 and c.new.key == "v"
+
+    def test_cli_value_parsing(self, cfg_dir):
+        c = Config.fromfile(str(cfg_dir / "child.py"))
+        c.merge_from_cli(["lr=0.001", "flag=true", "name=a,b", "n=none"])
+        assert c.lr == 0.001 and c.flag is True
+        assert c.name == ["a", "b"] and c.n is None
+
+    def test_repo_configs_load(self):
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        c = Config.fromfile(
+            os.path.join(root, "configs/adversarial/adversarial-second_kitti-3d-3class.py")
+        )
+        assert c.model.type == "AdversarialVoxelNet"
+        assert c.model.adversary_cfg.sensor_error_bound == 0.2
+        assert c.model.bbox_head.num_classes == 3  # inherited from _base_
+        assert c.max_epochs == 30  # child overrides base's 40
+
+
+class TestRegistry:
+    def test_build_and_errors(self):
+        r = Registry("test")
+
+        @r.register_module()
+        class Thing:
+            def __init__(self, x=1):
+                self.x = x
+
+        assert r.build({"type": "Thing", "x": 5}).x == 5
+        assert r.build(None) is None
+        with pytest.raises(KeyError, match="not found"):
+            r.build({"type": "Missing"})
+
+    def test_adversaries_registered(self):
+        assert "VoxelPerturber" in ADVERSARIES
+        assert "StrongVoxelPerturber" in ADVERSARIES
