@@ -41,14 +41,20 @@ def main():
 
     # warmup / compile
     state, logs = trainer.train_step(state, batch, epoch=5)
-    jax.block_until_ready(logs["loss"])
+    jax.block_until_ready(state.params)
 
     iters = 10
     t0 = time.time()
+    losses = []
     for _ in range(iters):
         state, logs = trainer.train_step(state, batch, epoch=5)
-    jax.block_until_ready(logs["loss"])
+        losses.append(logs["loss"])
+    # block on the full updated state AND materialize every loss — guards
+    # against async-dispatch timing artifacts over remote-device tunnels
+    jax.block_until_ready(state.params)
+    losses = [float(l) for l in losses]
     dt = time.time() - t0
+    assert all(np.isfinite(l) for l in losses), f"non-finite losses: {losses}"
 
     fps = batch_size * iters / dt
     n_chips = max(len(jax.devices()), 1)

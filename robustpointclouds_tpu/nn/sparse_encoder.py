@@ -100,11 +100,11 @@ class SparseEncoder(nn.Module):
             BEV map [B, H/8, W/8, 2*out_channels].
         """
         n_cap = voxel_features.shape[0]
-        subm_offs = sparse.kernel_offsets(_SUBM_KERNEL)
 
         def subm_idx(g: sparse.SparseGrid):
+            # kernel_size (not offsets) enables the grouped windowed lookup
             return sparse.neighbor_index(
-                g, g.coords, g.mask, subm_offs, (1, 1, 1, 1), (0, 1, 1, 1)
+                g, g.coords, g.mask, _SUBM_KERNEL, (1, 1, 1, 1), (0, 1, 1, 1)
             )
 
         x = voxel_features
@@ -127,7 +127,7 @@ class SparseEncoder(nn.Module):
                     )
                     down_offs = sparse.kernel_offsets(k4)
                     down_idx = sparse.neighbor_index(
-                        g, new_g.coords, new_g.mask, down_offs, s4, p4
+                        g, new_g.coords, new_g.mask, k4, s4, p4
                     )
                     down_inv = sparse.inverse_neighbor_index(g, new_g, down_offs, s4, p4)
                     x = SparseConvBlock(
