@@ -21,8 +21,8 @@ import numpy as np
 from ..data import synthetic_kitti_batch
 from ..data.structures import PointCloudBatch
 from ..eval import KittiMetric
-from ..models import VoxelNetConfig, anchor_head_predict
-from ..train import NaNLadder, TrainConfig, Trainer
+from ..models import anchor_head_predict
+from ..train import NaNLadder, Trainer
 from ..train.checkpoint import CheckpointManager
 from ..train.hooks import reinit_adversary_params
 

@@ -20,13 +20,18 @@ def parse_args():
     p.add_argument("--resume", nargs="?", const="auto", default=None)
     p.add_argument("--devices", type=int, default=None,
                    help="data-parallel device count (default: all attached)")
-    p.add_argument("--amp", action="store_true", help="accepted for CLI parity")
+    p.add_argument("--amp", action="store_true",
+                   help="bfloat16 matmul precision (reference --amp equivalent)")
     p.add_argument("--cfg-options", nargs="*", default=[])
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.amp:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
     from ..core import Config
 
     cfg = Config.fromfile(args.config)

@@ -35,6 +35,8 @@ def parse_args():
     p.add_argument("--tiny", action="store_true",
                    help="debug: shrink grid/voxel caps for fast smoke runs")
     p.add_argument("--cpu", action="store_true", help="debug: force CPU backend")
+    p.add_argument("--amp", action="store_true",
+                   help="bfloat16 matmul precision (reference --amp equivalent)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler device trace of steps 10-13")
     p.add_argument("--seed", type=int, default=0)
@@ -50,6 +52,10 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.amp:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
 
     from ..models import VoxelNetConfig
     from ..train import TrainConfig, Trainer

@@ -12,7 +12,7 @@ import copy
 import importlib.util
 import os
 import sys
-from typing import Any, Dict, List, Optional, Union
+from typing import Any, Dict, List, Optional
 
 _DELETE_KEY = "_delete_"
 _BASE_KEY = "_base_"

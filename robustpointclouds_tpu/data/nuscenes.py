@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Callable, Dict, Iterator, List, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -37,7 +37,7 @@ from ..nn import (
 from ..ops import sparse
 from ..ops.grad import grad_scale
 from ..ops.voxelize import voxelize_batch
-from .voxelnet import ModelOutputs, VoxelNetConfig
+from .voxelnet import VoxelNetConfig
 
 
 class StrongVoxelNetConfig(NamedTuple):

@@ -11,7 +11,7 @@ decode is dense-heatmap top-k + circle NMS in ops/, all static-shape XLA.
 """
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

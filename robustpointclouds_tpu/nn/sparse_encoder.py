@@ -31,7 +31,6 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops import sparse
 from ..ops import subm_conv as subm_conv_ops

@@ -13,7 +13,7 @@ host<->device transfer between augmentation and the encoder.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

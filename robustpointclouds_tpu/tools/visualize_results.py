@@ -67,7 +67,6 @@ def main():
 
     matplotlib.use("Agg")
     import jax
-    import jax.numpy as jnp
     import matplotlib.pyplot as plt
 
     from ..cli.common import synthetic_loader

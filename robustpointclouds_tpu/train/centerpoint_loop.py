@@ -9,8 +9,6 @@ lr=5e-5, clip 1.0, warm start from a pretrained checkpoint
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax
