@@ -408,23 +408,38 @@ def downsample_sites(
         (dim + 2 * p - k) // s + 1
         for dim, k, s, p in zip(in_grid.spatial_shape, kernel_size, stride, padding)
     )
-    offs = kernel_offsets(kernel_size)  # [K, ndim] static
     ndim = in_grid.ndim
     out_strides = _strides_of(out_shape)
-    # per-tap scalar arithmetic on flat [N] vectors (see neighbor_index for
-    # why [N, K, ndim] intermediates are poison on TPU); taps whose offset is
-    # impossible under the stride ((p - off) % s has no solution for any even
-    # coordinate parity) still cost one column — negligible.
+    # An input i is covered by output o on axis a iff
+    # o*s in [i + p - k + 1, i + p], i.e. o in {floor((i+p)/s) - j} for
+    # j = 0..ceil(k/s)-1 (with window+bounds checks) — at most ceil(k/s)
+    # candidates per axis instead of k taps (8 vs 27 for the k3/s2 downsample),
+    # and no divisibility tests. Math on flat [N] vectors (see neighbor_index
+    # for why [N, K, ndim] intermediates are poison on TPU).
+    per_axis = []  # per axis: list of (o [N], valid [N])
+    for a in range(ndim):
+        k_a, s_a, p_a = int(kernel_size[a]), int(stride[a]), int(padding[a])
+        top = in_grid.coords[:, a] + p_a
+        cands = []
+        for j in range(-(-k_a // s_a)):  # ceil(k/s)
+            o = top // s_a - j
+            valid = (
+                in_grid.mask
+                & (o * s_a >= top - k_a + 1)
+                & (o >= 0)
+                & (o < out_shape[a])
+            )
+            cands.append((o, valid))
+        per_axis.append(cands)
+
+    import itertools
+
     cols = []
-    for k in range(offs.shape[0]):
+    for combo in itertools.product(*per_axis):
         flat = None
         valid = in_grid.mask
-        for a in range(ndim):
-            num = in_grid.coords[:, a] + int(padding[a]) - int(offs[k, a])
-            sa = int(stride[a])
-            valid = valid & (num % sa == 0)
-            o = num // sa
-            valid = valid & (o >= 0) & (o < out_shape[a])
+        for a, (o, v) in enumerate(combo):
+            valid = valid & v
             term = o * int(out_strides[a])
             flat = term if flat is None else flat + term
         cols.append(jnp.where(valid, flat, INT32_MAX).astype(jnp.int32))
