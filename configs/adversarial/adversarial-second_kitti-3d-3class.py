@@ -15,7 +15,11 @@ model = dict(
         use_spatial_attention=True,
         hidden_channels=[64, 128, 64],
     ),
-    adversarial_loss_weight=0.1,
+    # Multiplies the GRL scale on the perturbation delta. The reference STORES
+    # 0.1 here (adversarial-second_hv_secfpn...3class.py:83) but its VoxelNet
+    # forward applies a bare -1.0 (adversarial_voxelnet.py:284) — 1.0 keeps
+    # effective parity while making the knob live (freeze mode sets 0.5).
+    adversarial_loss_weight=1.0,
     regularization_weight=0.02,
     adversary_start_epoch=3,              # delayed start (epoch gate)
 )

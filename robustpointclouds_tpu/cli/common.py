@@ -28,20 +28,35 @@ from ..train.hooks import reinit_adversary_params
 
 
 class MetricsLogger:
-    """Accumulates per-step scalars; dumps the reference-compatible CSVs."""
+    """Accumulates per-step scalars; dumps the reference-compatible CSVs and
+    (by default) TensorBoard scalar events — the reference's TensorBoard
+    backend (adversarial-second_strong_v2.py:207-213)."""
 
-    def __init__(self, work_dir: str):
+    def __init__(self, work_dir: str, tensorboard: bool = True):
         self.work_dir = work_dir
         os.makedirs(work_dir, exist_ok=True)
         self.l2_norms: List[float] = []
         self.l2_percentages: List[float] = []
         self.rows: List[Dict[str, float]] = []
+        self._tb = None
+        if tensorboard:
+            from ..core.tensorboard import TensorBoardWriter
 
-    def log_step(self, logs: Dict):
+            self._tb = TensorBoardWriter(os.path.join(work_dir, "tf_logs"))
+        self._step = 0
+
+    def log_step(self, logs: Dict, step: Optional[int] = None):
         row = {k: float(v) for k, v in logs.items() if jnp.ndim(v) == 0}
         self.rows.append(row)
         if "perturbation_l2_norm" in row:
             self.l2_norms.append(row["perturbation_l2_norm"])
+            self.l2_percentages.append(row.get("l2_percentage", 0.0))
+        if self._tb is not None:
+            s = step if step is not None else self._step
+            for k, v in row.items():
+                self._tb.add_scalar(f"train/{k}", v, s)
+            self._tb.flush()
+        self._step = (step if step is not None else self._step) + 1
 
     def save_l2_norms(self, filename: str = "l2_norms.csv"):
         path = os.path.join(self.work_dir, filename)
@@ -90,18 +105,40 @@ def run_training(
     max_keep: int = 10,
     seed: int = 0,
     profile_dir: Optional[str] = None,
+    load_from: Optional[str] = None,
+    mesh=None,
 ) -> Dict:
     """The full training loop (reference scenario:
-    train_kitti_3class_adversarial.py --validate)."""
+    train_kitti_3class_adversarial.py --validate).
+
+    `load_from`: warm start params/batch_stats from a zoo checkpoint (.pth,
+    converted on the fly) or an orbax dir — the reference's `load_from` config
+    key. `mesh`: a jax.sharding.Mesh with a 'data' axis — batches are sharded
+    over it and params replicated; XLA inserts the gradient psum over ICI
+    (the reference's DDP/NCCL `--launcher` equivalent, SURVEY.md §2c).
+    """
     os.makedirs(work_dir, exist_ok=True)
     logger = MetricsLogger(work_dir)
     ladder = NaNLadder()
     ckpt = CheckpointManager(work_dir, max_to_keep=max_keep,
                              save_interval_epochs=checkpoint_interval)
 
+    shard = None
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_batch
+
+        def shard(batch):
+            return shard_batch(batch, mesh)
+
     rng = jax.random.PRNGKey(seed)
     first_batch = next(iter(epoch_loader(0)))
     state = trainer.init_state(rng, first_batch)
+    if load_from:
+        from ..train.checkpoint import load_pretrained
+
+        state = load_pretrained(state, load_from)
+    if mesh is not None:
+        state = replicate(state, mesh)
     start_epoch = 0
     if resume:
         latest = ckpt.latest_epoch()
@@ -119,6 +156,8 @@ def run_training(
         epoch_t0 = time.time()
         n_frames = 0
         for i, batch in enumerate(epoch_loader(epoch)):
+            if shard is not None:
+                batch = shard(batch)
             # device-level trace of steps 10-13 of the first epoch (the
             # reference's IterTimerHook equivalent, plus full XLA timelines)
             if profile_dir and epoch == start_epoch and i == 10:
@@ -175,16 +214,25 @@ def run_evaluation(
     the reference's `evaluate_kitti_adversarial_attack` measurement
     (patch_model_for_adversarial_eval, evaluate_kitti_adversarial_attack.py:23-62).
     """
-    metric = KittiMetric(classes=tuple(trainer.model_cfg.class_names), metrics=("3d", "bev"))
-    head = trainer.model_cfg.head
+    # StrongTrainer wraps the base detector config under .base
+    cfg = getattr(trainer.model_cfg, "base", trainer.model_cfg)
+    metric = KittiMetric(classes=tuple(cfg.class_names), metrics=("3d", "bev"))
+    head = cfg.head
     predict = jax.jit(
         lambda cls, box, d: anchor_head_predict(cls, box, d, trainer.anchors, head)
     )
     n = 0
-    for batch in batches:
+    for item in batches:
+        # loaders may yield (batch, metas) with per-row gt difficulty and a
+        # validity flag (False on rows padding the last short batch — those
+        # must not be scored twice), or a bare batch
+        batch, metas = item if isinstance(item, tuple) else (item, None)
         outs = trainer.forward_eval(state, batch, attack=attack)
         boxes, scores, labels, mask = predict(outs.cls_scores, outs.bbox_preds, outs.dir_preds)
         for b in range(batch.points.shape[0]):
+            meta = metas[b] if metas is not None else {}
+            if not meta.get("valid", True):
+                continue
             metric.update_from_arrays(
                 gt_boxes=np.asarray(batch.gt_boxes[b]),
                 gt_labels=np.asarray(batch.gt_labels[b]),
@@ -193,6 +241,7 @@ def run_evaluation(
                 dt_scores=np.asarray(scores[b]),
                 dt_labels=np.asarray(labels[b]),
                 dt_mask=np.asarray(mask[b]),
+                gt_difficulty=meta.get("gt_difficulty"),
             )
             n += 1
     results = metric.compute()

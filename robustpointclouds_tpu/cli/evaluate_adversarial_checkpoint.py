@@ -19,6 +19,8 @@ def parse_args():
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--limit", type=int, default=None,
+                   help="cap on real val frames (default: full split)")
     return p.parse_args()
 
 

@@ -26,6 +26,8 @@ def parse_args():
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--frames", type=int, default=8, help="synthetic val frames")
+    p.add_argument("--limit", type=int, default=None,
+                   help="cap on real val frames (default: full split)")
     return p.parse_args()
 
 
@@ -34,47 +36,53 @@ def _evaluate(work_dir, args, attack: bool):
     import jax.numpy as jnp
     import numpy as np
 
-    from ..data.nuscenes import NUSCENES_CLASSES, synthetic_nuscenes_batch
+    from ..data.nuscenes import nuscenes_available, synthetic_nuscenes_batch
     from ..data.structures import PointCloudBatch
-    from ..eval.nuscenes_metric import eval_nuscenes_map
-    from ..models.center_detection import centerpoint_decode
     from ..models.centerpoint import CenterPointConfig
     from ..train import TrainConfig
     from ..train.centerpoint_loop import CenterPointTrainer
     from ..train.checkpoint import CheckpointManager
+    from .train_nuscenes_adversarial import evaluate_centerpoint, tiny_centerpoint_cfg
 
     model_cfg = CenterPointConfig()
     num_points = 30000
     if args.tiny:
-        from ..models.center_detection import CenterHeadConfig
-        from ..nn.center_head import NUSCENES_TASKS
-        from ..ops.voxelize import VoxelizerConfig
-
-        model_cfg = model_cfg._replace(
-            voxelizer=VoxelizerConfig(
-                point_cloud_range=(-12.8, -12.8, -5.0, 12.8, 12.8, 3.0),
-                voxel_size=(0.4, 0.4, 0.2), max_points_per_voxel=3, max_voxels=512,
-            ),
-            head=CenterHeadConfig(
-                tasks=NUSCENES_TASKS,
-                point_cloud_range=(-12.8, -12.8, -5.0, 12.8, 12.8, 3.0),
-                voxel_size=(0.4, 0.4), max_objs=16, nms_pre=64, max_per_task=8,
-            ),
-        )
-        num_points = 512
+        model_cfg, num_points = tiny_centerpoint_cfg(model_cfg)
 
     trainer = CenterPointTrainer(model_cfg=model_cfg, train_cfg=TrainConfig())
-    rng = np.random.RandomState(777)
     pcr = model_cfg.voxelizer.point_cloud_range
-    frames = []
-    for _ in range(args.frames // args.batch_size):
-        b, vel = synthetic_nuscenes_batch(
-            rng, batch_size=args.batch_size, num_points=num_points,
-            max_gt=model_cfg.head.max_objs, point_range=pcr,
-        )
-        frames.append(PointCloudBatch(*(jnp.asarray(x) for x in b)))
 
-    state = trainer.init_state(jax.random.PRNGKey(0), frames[0])
+    # real NuScenes val frames when the dataset is present (the reference
+    # evaluates real infos, evaluate_nuscenes_adversarial.py:80-283);
+    # synthetic only as fallback
+    use_synth = args.synthetic or not nuscenes_available(args.data_root)
+    if use_synth:
+        rng = np.random.RandomState(777)
+        frames = []
+        for _ in range(max(args.frames // args.batch_size, 1)):
+            b, vel = synthetic_nuscenes_batch(
+                rng, batch_size=args.batch_size, num_points=num_points,
+                max_gt=model_cfg.head.max_objs, point_range=pcr,
+            )
+            frames.append(
+                (PointCloudBatch(*(jnp.asarray(x) for x in b)), jnp.asarray(vel))
+            )
+        batches = iter(frames)
+        first = frames[0][0]
+    else:
+        from ..data.nuscenes import nuscenes_val_loader
+
+        def make_loader():
+            return nuscenes_val_loader(
+                args.data_root, args.batch_size, model_cfg,
+                num_points=num_points, max_gt=model_cfg.head.max_objs,
+                limit=args.limit,
+            )
+
+        batches = make_loader()
+        first = next(make_loader())[0]
+
+    state = trainer.init_state(jax.random.PRNGKey(0), first)
     ckpt = CheckpointManager(work_dir)
     if ckpt.latest_epoch() is not None:
         state = ckpt.restore(state)
@@ -82,24 +90,7 @@ def _evaluate(work_dir, args, attack: bool):
     else:
         print(f"[warn] no checkpoint in {work_dir}; evaluating random init")
 
-    decode = jax.jit(lambda preds: centerpoint_decode(preds, model_cfg.head))
-    gts, dts = [], []
-    for batch in frames:
-        outs = trainer.forward_eval(state, batch, attack=attack)
-        boxes, scores, labels, mask = decode(outs.task_preds)
-        for b in range(batch.points.shape[0]):
-            gm = np.asarray(batch.gt_mask[b])
-            dm = np.asarray(mask[b])
-            gts.append({
-                "boxes_3d": np.asarray(batch.gt_boxes[b])[gm],
-                "labels": np.asarray(batch.gt_labels[b])[gm],
-            })
-            dts.append({
-                "boxes_3d": np.asarray(boxes[b])[dm][:, :7],
-                "labels": np.asarray(labels[b])[dm],
-                "score": np.asarray(scores[b])[dm],
-            })
-    return eval_nuscenes_map(gts, dts, NUSCENES_CLASSES)
+    return evaluate_centerpoint(trainer, state, batches, attack=attack)
 
 
 def main():

@@ -4,27 +4,46 @@ Mirrors the reference orchestrator's CLI and recipe
 (train_kitti_3class_adversarial.py:57-274: batch 6, 20 epochs, val every 5,
 checkpoint every 5 keep 10, logger 50; `--freeze-detector` zeroes detector
 learning and boosts the adversary lr x20 with w=0.5 / reg=1e-5, :198-211).
+The model is built FROM the config file (configs/adversarial/
+adversarial-second_kitti-3d-3class.py by default) so `--cfg-options`
+dotted overrides really change it (reference --cfg-options surface,
+train.py:46-55), and `--load-from` warm-starts from a zoo checkpoint the way
+the reference's `load_from` config key does
+(adversarial-second_hv_secfpn_8xb6-80e_kitti-3d-3class.py:167).
 
     python -m robustpointclouds_tpu.cli.train_kitti_3class_adversarial \
         --validate --work-dir work_dirs/kitti_3class [--synthetic] \
-        [--freeze-detector] [--resume] [--epochs N] [--cfg-options k=v ...]
+        [--freeze-detector] [--resume] [--load-from ckpt.pth] [--devices N] \
+        [--epochs N] [--cfg-options k=v ...]
 """
 from __future__ import annotations
 
 import argparse
+import os
+
+_DEFAULT_CFG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "configs", "adversarial", "adversarial-second_kitti-3d-3class.py",
+)
 
 
 def parse_args():
     p = argparse.ArgumentParser(description="KITTI 3-class adversarial training")
+    p.add_argument("--config", default=_DEFAULT_CFG,
+                   help="config file (default: the 3-class adversarial config)")
     p.add_argument("--validate", action="store_true", help="run validation during training")
     p.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
     p.add_argument(
         "--freeze-detector", action="store_true",
         help="freeze detector, train adversary only (lr x20, w=0.5, reg=1e-5)",
     )
+    p.add_argument("--load-from", default=None,
+                   help="warm start from a zoo .pth or converted orbax dir")
     p.add_argument("--work-dir", default="work_dirs/kitti_3class_adversarial")
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=6)
+    p.add_argument("--devices", type=int, default=None,
+                   help="data-parallel device count (mesh over ICI)")
     p.add_argument("--steps-per-epoch", type=int, default=None,
                    help="override steps per epoch (default: dataset size)")
     p.add_argument("--data-root", default="data/kitti")
@@ -57,11 +76,16 @@ def main():
 
         jax.config.update("jax_default_matmul_precision", "bfloat16")
 
-    from ..models import VoxelNetConfig
-    from ..train import TrainConfig, Trainer
+    from ..core import Config
+    from ..core.builders import build_train_config, build_voxelnet_config
+    from ..train import Trainer
     from .common import run_training, synthetic_loader
 
-    model_cfg = VoxelNetConfig()
+    cfg = Config.fromfile(args.config) if os.path.isfile(args.config) else Config()
+    if args.cfg_options:
+        cfg.merge_from_cli(args.cfg_options)
+
+    model_cfg = build_voxelnet_config(cfg)
     num_points = 20000
     if args.tiny:
         from ..ops.voxelize import VoxelizerConfig
@@ -79,24 +103,36 @@ def main():
         )
         num_points = 512
     steps_per_epoch = args.steps_per_epoch or (args.steps or 1000)
-    train_cfg = TrainConfig(
-        max_epochs=args.epochs,
-        steps_per_epoch=steps_per_epoch,
-    )
+    overrides = dict(max_epochs=args.epochs, steps_per_epoch=steps_per_epoch)
     if args.freeze_detector:
         # reference freeze mode: detector lr off, adversary lr_mult 20,
-        # adversarial weight 0.5, regularization 1e-5
-        train_cfg = TrainConfig(
-            max_epochs=args.epochs,
-            steps_per_epoch=steps_per_epoch,
+        # adversarial weight 0.5, regularization 1e-5 (ref :198-211)
+        overrides.update(
             adversary_lr_mult=20.0,
             adversarial_loss_weight=0.5,
             regularization_weight=1e-5,
             freeze_detector=True,
         )
         model_cfg = model_cfg._replace(adversary_start_epoch=0)
+    train_cfg = build_train_config(cfg, **overrides)
 
-    trainer = Trainer(model_cfg=model_cfg, train_cfg=train_cfg)
+    mesh = None
+    if args.devices and args.devices > 1:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        devs = jax.devices()
+        if len(devs) < args.devices:
+            raise SystemExit(f"--devices {args.devices} but only {len(devs)} attached")
+        if args.batch_size % args.devices != 0:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} not divisible by --devices {args.devices}"
+            )
+        mesh = make_mesh(devs[: args.devices])
+        print(f"[mesh] data-parallel over {args.devices} devices")
+
+    trainer = Trainer(model_cfg=model_cfg, train_cfg=train_cfg, mesh=mesh)
 
     if not args.synthetic:
         from ..data.kitti import kitti_available
@@ -140,7 +176,7 @@ def main():
         loader,
         work_dir=args.work_dir,
         max_epochs=args.epochs if args.steps is None else 1,
-        val_interval=5,
+        val_interval=int(cfg.get("val_interval", 5)),
         val_loader=val_loader,
         resume=args.resume,
         log_interval=50 if args.steps is None else 1,
@@ -148,6 +184,8 @@ def main():
         max_keep=10,
         seed=args.seed,
         profile_dir=args.profile,
+        load_from=args.load_from or cfg.get("load_from"),
+        mesh=mesh,
     )
     print(f"[done] work_dir={out['work_dir']}")
     return out

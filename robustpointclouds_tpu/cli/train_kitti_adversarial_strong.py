@@ -96,6 +96,10 @@ def parse_args():
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--data-root", default="data/kitti")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--validate", action="store_true",
+                   help="KITTI AP validation every 2 epochs (reference :219-232)")
+    p.add_argument("--val-limit", type=int, default=None,
+                   help="cap on validation frames")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--cpu", action="store_true")
@@ -150,22 +154,53 @@ def main():
 
     pcr = base.voxelizer.point_cloud_range
 
-    def batches(epoch):
-        rng = np.random.RandomState(args.seed * 17 + epoch)
-        for _ in range(steps_per_epoch):
-            b = synthetic_kitti_batch(
-                rng, batch_size=args.batch_size, num_points=num_points,
-                point_range=pcr,
-            )
-            yield PointCloudBatch(*(jnp.asarray(x) for x in b))
+    # real KITTI when present (the reference trains on the real dataset);
+    # synthetic only as fallback or on --synthetic
+    use_synth = args.synthetic
+    if not use_synth:
+        from ..data.kitti import kitti_available
+
+        if not kitti_available(args.data_root):
+            print(f"[data] KITTI not found under {args.data_root!r}; "
+                  "falling back to --synthetic scenes")
+            use_synth = True
+
+    if use_synth:
+        def batches(epoch):
+            rng = np.random.RandomState(args.seed * 17 + epoch)
+            for _ in range(steps_per_epoch):
+                b = synthetic_kitti_batch(
+                    rng, batch_size=args.batch_size, num_points=num_points,
+                    point_range=pcr,
+                )
+                yield PointCloudBatch(*(jnp.asarray(x) for x in b))
+
+        val_loader = None
+    else:
+        from ..data.kitti import kitti_epoch_loader, kitti_val_loader
+
+        batches = kitti_epoch_loader(
+            args.data_root, args.batch_size, base, seed=args.seed,
+            steps_per_epoch=args.steps_per_epoch, num_points=num_points,
+        )
+        val_loader = (
+            (lambda: kitti_val_loader(args.data_root, args.batch_size, base,
+                                      num_points=num_points, limit=args.val_limit))
+            if args.validate else None
+        )
 
     os.makedirs(args.work_dir, exist_ok=True)
     monitor = AdversarialProgressMonitor()
     ladder = NaNLadder()
     ckpt = CheckpointManager(args.work_dir, save_interval_epochs=2)
-    state = trainer.init_state(jax.random.PRNGKey(args.seed), next(batches(0)))
+    rng_key = jax.random.PRNGKey(args.seed)
+    state = trainer.init_state(rng_key, next(iter(batches(0))))
     trainer.compile(donate=False)
 
+    from ..train.hooks import reinit_adversary_params
+    from .common import run_evaluation
+
+    val_history = {}
     max_epochs = args.epochs if args.steps is None else 1
     for epoch in range(max_epochs):
         state = trainer.update_dynamic_scaling(state, epoch)
@@ -175,16 +210,35 @@ def main():
             if (i + 1) % 10 == 0 or i == 0:
                 monitor.record(epoch, i, logs)
                 state = trainer.update_dynamic_scaling(state, epoch, logs)
+                state = ladder.update(
+                    state,
+                    adversary_reinit_fn=lambda p: reinit_adversary_params(
+                        p, jax.random.fold_in(rng_key, epoch)
+                    ),
+                )
                 print(f"[epoch {epoch} iter {i+1}] " + " ".join(
                     f"{k}={float(v):.4f}" for k, v in sorted(logs.items())
                 ))
+                if ladder.should_stop:
+                    break
             if args.steps and i + 1 >= args.steps:
                 break
         ckpt.maybe_save(epoch, state)
+        # val every 2 epochs (reference train_kitti_adversarial_strong.py:219-232)
+        if val_loader is not None and (epoch + 1) % 2 == 0:
+            metrics = run_evaluation(trainer, state, val_loader())
+            val_history[f"val_epoch{epoch}"] = metrics
+            monitor.record(epoch, -1, {f"val_{k}": v for k, v in metrics.items()
+                                       if isinstance(v, (int, float))})
+            print(f"[val epoch {epoch}] {metrics}")
         if ladder.should_stop:
+            print("[NaN ladder] stopping")
             break
     ckpt.save(max_epochs - 1, state)
     monitor.save(args.work_dir)
+    if val_history:
+        with open(os.path.join(args.work_dir, "val_history.json"), "w") as f:
+            json.dump(val_history, f, indent=2)
     print(monitor.verdict())
     print(f"[done] work_dir={args.work_dir}")
 

@@ -54,11 +54,28 @@ def _normalize_path(data_root: str, lidar_path: str) -> str:
     return p
 
 
-class NuScenesDataset:
-    """Info-pkl backed dataset yielding 5D points + 9D boxes (with velocity)."""
+def _read_lidar(path: str) -> np.ndarray:
+    """NuScenes LIDAR_TOP .bin: rows of (x, y, z, intensity, ring) — ring is
+    replaced by the sweep-lag timestamp channel downstream."""
+    return np.fromfile(path, dtype=np.float32).reshape(-1, 5)
 
-    def __init__(self, data_root: str, split: str = "train"):
+
+class NuScenesDataset:
+    """Info-pkl backed dataset yielding 5D points + 9D boxes (with velocity).
+
+    Multi-sweep aggregation follows mmdet3d's LoadPointsFromMultiSweeps (the
+    base CenterPoint config consumes 9 sweeps; the 5th point channel is the
+    time lag of the sweep relative to the key frame, and the key frame's lag
+    is 0 — reference base config via
+    configs/adversarial/adversarial-centerpoint_voxel-nuscenes.py:11-13).
+    Supports both the mmdet3d v2 info schema ('data_list' + 'lidar_sweeps')
+    and the v1 schema ('infos' + 'sweeps' with sensor2lidar_{rotation,
+    translation}).
+    """
+
+    def __init__(self, data_root: str, split: str = "train", max_sweeps: int = 9):
         self.data_root = data_root
+        self.max_sweeps = max_sweeps
         info_path = os.path.join(data_root, f"nuscenes_infos_{split}.pkl")
         with open(info_path, "rb") as f:
             data = pickle.load(f)
@@ -69,30 +86,228 @@ class NuScenesDataset:
     def __len__(self):
         return len(self.infos)
 
+    def _load_sweeps(self, info, key_ts: float) -> list:
+        out = []
+        sweeps = info.get("sweeps") or info.get("lidar_sweeps") or []
+        for sw in sweeps[: self.max_sweeps]:
+            lid = sw.get("lidar_points", sw)
+            sw_path = lid.get("lidar_path", sw.get("data_path"))
+            if not sw_path:
+                continue
+            path = _normalize_path(self.data_root, sw_path)
+            if not os.path.isfile(path):
+                continue
+            pts = _read_lidar(path)
+            # v1 schema: sensor2lidar rotation/translation on the sweep
+            R = sw.get("sensor2lidar_rotation", lid.get("sensor2lidar_rotation"))
+            T = sw.get("sensor2lidar_translation", lid.get("sensor2lidar_translation"))
+            if R is not None and T is not None:
+                R = np.asarray(R, np.float64).reshape(3, 3)
+                T = np.asarray(T, np.float64).reshape(3)
+                pts = pts.copy()
+                pts[:, :3] = (pts[:, :3].astype(np.float64) @ R.T + T).astype(np.float32)
+            ts = float(sw.get("timestamp", lid.get("timestamp", key_ts))) / 1e6
+            lag = max(key_ts / 1e6 - ts, 0.0)
+            pts[:, 4] = lag
+            out.append(pts)
+        return out
+
     def get(self, idx: int) -> Dict:
         info = self.infos[idx]
         lidar = info.get("lidar_points", info)
         lidar_path = lidar.get("lidar_path", info.get("lidar_path"))
         path = _normalize_path(self.data_root, lidar_path)
-        pts = np.fromfile(path, dtype=np.float32).reshape(-1, 5)
-        # annotations (mmdet3d info schema: instances with bbox_3d 9-dim)
+        pts = _read_lidar(path)
+        pts[:, 4] = 0.0  # key frame time lag
+        key_ts = float(info.get("timestamp", lidar.get("timestamp", 0.0)))
+        sweeps = self._load_sweeps(info, key_ts)
+        if sweeps:
+            pts = np.concatenate([pts] + sweeps, axis=0)
+        # annotations: mmdet3d v2 'instances' or v1 'gt_boxes'/'gt_names'
         boxes, labels, vel = [], [], []
-        for inst in info.get("instances", []):
-            b = np.asarray(inst["bbox_3d"], np.float32)
-            name_id = inst.get("bbox_label_3d", -1)
-            if name_id < 0 or name_id >= len(NUSCENES_CLASSES):
-                continue
-            # mmdet3d nus boxes: (x, y, z_bottom, dx, dy, dz, yaw[, vx, vy])
-            center_z = b[2] + b[5] / 2.0
-            boxes.append([b[0], b[1], center_z, b[3], b[4], b[5], b[6]])
-            vel.append(b[7:9] if len(b) >= 9 else np.zeros(2, np.float32))
-            labels.append(name_id)
+        if "instances" in info:
+            for inst in info["instances"]:
+                b = np.asarray(inst["bbox_3d"], np.float32)
+                name_id = inst.get("bbox_label_3d", -1)
+                if name_id < 0 or name_id >= len(NUSCENES_CLASSES):
+                    continue
+                # mmdet3d nus boxes: (x, y, z_bottom, dx, dy, dz, yaw[, vx, vy])
+                center_z = b[2] + b[5] / 2.0
+                boxes.append([b[0], b[1], center_z, b[3], b[4], b[5], b[6]])
+                vel.append(b[7:9] if len(b) >= 9 else np.zeros(2, np.float32))
+                labels.append(name_id)
+        else:
+            names = info.get("gt_names", [])
+            gtb = np.asarray(info.get("gt_boxes", np.zeros((0, 7))), np.float32)
+            gtv = np.asarray(info.get("gt_velocity", np.zeros((len(gtb), 2))), np.float32)
+            for b, name, v in zip(gtb, names, gtv):
+                if name not in _CLS_TO_ID:
+                    continue
+                boxes.append([b[0], b[1], b[2] + b[5] / 2.0, b[3], b[4], b[5], b[6]])
+                vel.append(np.nan_to_num(v))
+                labels.append(_CLS_TO_ID[name])
         return {
             "points": pts,
             "gt_boxes": np.asarray(boxes, np.float32).reshape(-1, 7),
             "gt_labels": np.asarray(labels, np.int32),
             "gt_vel": np.asarray(vel, np.float32).reshape(-1, 2),
         }
+
+
+def augment_nuscenes_sample(sample: Dict, rng: np.random.RandomState, pcr) -> Dict:
+    """NuScenes train augmentation (reference base CenterPoint pipeline):
+    RandomFlip3D (x and y) + GlobalRotScaleTrans + range filter, with the
+    velocity vectors transformed alongside the boxes."""
+    pts = sample["points"].copy()
+    boxes = sample["gt_boxes"].copy()
+    vel = sample["gt_vel"].copy()
+
+    if rng.rand() < 0.5:  # flip y
+        pts[:, 1] *= -1
+        boxes[:, 1] *= -1
+        boxes[:, 6] = -boxes[:, 6]
+        vel[:, 1] *= -1
+    if rng.rand() < 0.5:  # flip x
+        pts[:, 0] *= -1
+        boxes[:, 0] *= -1
+        boxes[:, 6] = np.pi - boxes[:, 6]
+        vel[:, 0] *= -1
+
+    ang = rng.uniform(-np.pi / 4, np.pi / 4)
+    c, s = np.cos(ang), np.sin(ang)
+    rot = np.array([[c, -s], [s, c]], np.float32)
+    pts[:, :2] = pts[:, :2] @ rot.T
+    boxes[:, :2] = boxes[:, :2] @ rot.T
+    boxes[:, 6] += ang
+    vel = vel @ rot.T
+
+    scale = rng.uniform(0.95, 1.05)
+    pts[:, :3] *= scale
+    boxes[:, :6] *= scale
+    vel *= scale
+
+    pm = (
+        (pts[:, 0] >= pcr[0]) & (pts[:, 0] < pcr[3])
+        & (pts[:, 1] >= pcr[1]) & (pts[:, 1] < pcr[4])
+        & (pts[:, 2] >= pcr[2]) & (pts[:, 2] < pcr[5])
+    )
+    bm = (
+        (boxes[:, 0] >= pcr[0]) & (boxes[:, 0] < pcr[3])
+        & (boxes[:, 1] >= pcr[1]) & (boxes[:, 1] < pcr[4])
+    )
+    out = dict(sample)
+    out["points"] = pts[pm]
+    out["gt_boxes"] = boxes[bm]
+    out["gt_labels"] = sample["gt_labels"][bm]
+    out["gt_vel"] = vel[bm]
+    return out
+
+
+def _filter_range_nus(sample: Dict, pcr) -> Dict:
+    pts = sample["points"]
+    pm = (
+        (pts[:, 0] >= pcr[0]) & (pts[:, 0] < pcr[3])
+        & (pts[:, 1] >= pcr[1]) & (pts[:, 1] < pcr[4])
+        & (pts[:, 2] >= pcr[2]) & (pts[:, 2] < pcr[5])
+    )
+    boxes = sample["gt_boxes"]
+    bm = (
+        (boxes[:, 0] >= pcr[0]) & (boxes[:, 0] < pcr[3])
+        & (boxes[:, 1] >= pcr[1]) & (boxes[:, 1] < pcr[4])
+    )
+    out = dict(sample)
+    out["points"] = pts[pm]
+    out["gt_boxes"] = boxes[bm]
+    out["gt_labels"] = sample["gt_labels"][bm]
+    out["gt_vel"] = sample["gt_vel"][bm]
+    return out
+
+
+def _pad_nus_batch(samples, num_points: int, max_gt: int,
+                   rng: np.random.RandomState):
+    B = len(samples)
+    points = np.zeros((B, num_points, 5), np.float32)
+    pmask = np.zeros((B, num_points), bool)
+    boxes = np.zeros((B, max_gt, 7), np.float32)
+    labels = np.zeros((B, max_gt), np.int32)
+    vel = np.zeros((B, max_gt, 2), np.float32)
+    gmask = np.zeros((B, max_gt), bool)
+    for b, s in enumerate(samples):
+        p = s["points"]
+        n = min(len(p), num_points)
+        sel = rng.choice(len(p), n, replace=False) if len(p) > num_points else slice(0, n)
+        points[b, :n] = p[sel]
+        pmask[b, :n] = True
+        g = min(len(s["gt_boxes"]), max_gt)
+        boxes[b, :g] = s["gt_boxes"][:g]
+        labels[b, :g] = s["gt_labels"][:g]
+        vel[b, :g] = s["gt_vel"][:g]
+        gmask[b, :g] = True
+    return PointCloudBatch(points, pmask, boxes, labels, gmask), vel
+
+
+def nuscenes_epoch_loader(
+    data_root: str,
+    batch_size: int,
+    model_cfg,
+    seed: int = 0,
+    steps_per_epoch=None,
+    num_points: int = 30000,
+    max_gt: int = 32,
+    max_sweeps: int = 9,
+    augment: bool = True,
+):
+    """Training loader over real NuScenes infos. Yields (PointCloudBatch,
+    gt_vel [B, G, 2]) — the CenterPoint trainer's input contract (reference
+    train_nuscenes_adversarial.py:93-191 trains on real infos)."""
+    import jax.numpy as jnp
+
+    ds = NuScenesDataset(data_root, split="train", max_sweeps=max_sweeps)
+    pcr = model_cfg.voxelizer.point_cloud_range
+
+    def epoch_iter(epoch: int):
+        rng = np.random.RandomState(seed * 131 + epoch)
+        order = rng.permutation(len(ds))
+        n_steps = steps_per_epoch or max(len(ds) // batch_size, 1)
+        for i in range(n_steps):
+            start = (i * batch_size) % len(ds)
+            idxs = order[start : start + batch_size]
+            if len(idxs) < batch_size:
+                idxs = np.concatenate([idxs, order[: batch_size - len(idxs)]])
+            samples = []
+            for j in idxs:
+                s = ds.get(int(j))
+                s = augment_nuscenes_sample(s, rng, pcr) if augment else _filter_range_nus(s, pcr)
+                samples.append(s)
+            b, vel = _pad_nus_batch(samples, num_points, max_gt, rng)
+            yield PointCloudBatch(*(jnp.asarray(x) for x in b)), jnp.asarray(vel)
+
+    return epoch_iter
+
+
+def nuscenes_val_loader(
+    data_root: str, batch_size: int, model_cfg, num_points: int = 30000,
+    max_gt: int = 32, max_sweeps: int = 9, limit=None, seed: int = 0,
+):
+    """Validation loader. Yields (PointCloudBatch, gt_vel, metas) with
+    per-row validity flags (pad rows of the final short batch are not
+    scored)."""
+    import jax.numpy as jnp
+
+    ds = NuScenesDataset(data_root, split="val", max_sweeps=max_sweeps)
+    pcr = model_cfg.voxelizer.point_cloud_range
+    n = min(len(ds), limit) if limit else len(ds)
+    rng = np.random.RandomState(seed)
+    for i in range(0, n, batch_size):
+        samples = [
+            _filter_range_nus(ds.get(j), pcr) for j in range(i, min(i + batch_size, n))
+        ]
+        n_real = len(samples)
+        while len(samples) < batch_size:
+            samples.append(samples[-1])
+        metas = [{"valid": b_i < n_real} for b_i in range(batch_size)]
+        b, vel = _pad_nus_batch(samples, num_points, max_gt, rng)
+        yield PointCloudBatch(*(jnp.asarray(x) for x in b)), jnp.asarray(vel), metas
 
 
 def synthetic_nuscenes_batch(

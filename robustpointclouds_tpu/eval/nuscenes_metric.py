@@ -1,53 +1,93 @@
-"""NuScenes-style detection metric: center-distance mAP (+ simplified NDS).
+"""NuScenes-style detection metric: center-distance mAP + NDS.
 
 The reference scores NuScenes through the nuscenes-devkit
 (requirements.txt:22, save_best='NuScenes metric/.../mAP' in
 configs/adversarial/adversarial-centerpoint_voxel-nuscenes.py:98). The devkit
-is not vendorable here, so this module implements the devkit's core protocol
-self-contained: matching by BEV center distance at thresholds {0.5, 1, 2, 4} m,
-AP = normalized area under the precision-recall curve above (0.1, 0.1), mAP =
-mean over classes and thresholds. A simplified NDS combines mAP with mean TP
-errors (translation/scale/orientation) per the devkit weighting.
+is not vendorable here, so this module implements the devkit's protocol
+self-contained:
+
+  * matching by BEV center distance at thresholds {0.5, 1, 2, 4} m;
+  * AP = normalized area under the 101-point interpolated PR curve above
+    (min_recall 0.1, min_precision 0.1); mAP = mean over classes x thresholds;
+  * TP errors at the 2.0 m threshold over matched pairs:
+      ATE  translation (BEV center distance, m)
+      ASE  scale (1 - IoU of center/yaw-aligned boxes)
+      AOE  orientation (smallest yaw delta; period pi for barriers)
+      AVE  velocity (L2 of (vx, vy) delta, m/s)
+    with the devkit's class exclusions (no AOE for traffic cones, no AVE for
+    barriers/cones);
+  * NDS = (5*mAP + sum(1 - min(err, 1))) / (5 + #TP metrics). The devkit's
+    fifth TP metric (attribute error) needs NuScenes attribute annotations,
+    which this pipeline does not carry; NDS here renormalizes over the four
+    measured errors and also reports them individually.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
 DIST_THRESHOLDS = (0.5, 1.0, 2.0, 4.0)
+TP_THRESHOLD = 2.0
 _MIN_RECALL = 0.1
 _MIN_PRECISION = 0.1
 
+# devkit class exclusions for TP error metrics
+_NO_ORIENT = {"traffic_cone"}
+_NO_VEL = {"barrier", "traffic_cone"}
+_YAW_PERIOD_PI = {"barrier"}
+
+
+def _aligned_iou3d(g: np.ndarray, d: np.ndarray) -> float:
+    """3D IoU of two boxes after aligning centers and yaw (devkit scale_iou)."""
+    inter = float(np.prod(np.minimum(g[3:6], d[3:6])))
+    union = float(np.prod(g[3:6])) + float(np.prod(d[3:6])) - inter
+    return inter / max(union, 1e-9)
+
+
+def _yaw_diff(g: float, d: float, period: float) -> float:
+    diff = (d - g) % period
+    return float(min(diff, period - diff))
+
 
 def _ap_single(
-    gt_centers: List[np.ndarray],
-    dt_centers: List[np.ndarray],
+    gt_boxes: List[np.ndarray],
+    gt_vels: List[Optional[np.ndarray]],
+    dt_boxes: List[np.ndarray],
     dt_scores: List[np.ndarray],
+    dt_vels: List[Optional[np.ndarray]],
     thr: float,
+    cls: str,
 ):
     """AP for one class at one distance threshold, plus TP error stats."""
-    total_gt = sum(len(g) for g in gt_centers)
+    total_gt = sum(len(g) for g in gt_boxes)
     if total_gt == 0:
         return None
-    rows = []  # (score, is_tp, trans_err)
-    for g, d, s in zip(gt_centers, dt_centers, dt_scores):
+    rows = []  # (score, is_tp, ate, ase, aoe, ave)
+    period = np.pi if cls in _YAW_PERIOD_PI else 2 * np.pi
+    for g, gv, d, s, dv in zip(gt_boxes, gt_vels, dt_boxes, dt_scores, dt_vels):
         order = np.argsort(-s)
         taken = np.zeros(len(g), bool)
         for i in order:
             if len(g) == 0:
-                rows.append((s[i], False, 0.0))
+                rows.append((s[i], False, 0.0, 0.0, 0.0, 0.0))
                 continue
             dist = np.linalg.norm(g[:, :2] - d[i, :2][None], axis=1)
             dist = np.where(taken, np.inf, dist)
             j = int(np.argmin(dist))
             if dist[j] <= thr:
                 taken[j] = True
-                rows.append((s[i], True, float(dist[j])))
+                ase = 1.0 - _aligned_iou3d(g[j], d[i])
+                aoe = _yaw_diff(float(g[j, 6]), float(d[i, 6]), period)
+                if gv is not None and dv is not None:
+                    ave = float(np.linalg.norm(gv[j] - dv[i]))
+                else:
+                    ave = np.nan
+                rows.append((s[i], True, float(dist[j]), ase, aoe, ave))
             else:
-                rows.append((s[i], False, 0.0))
+                rows.append((s[i], False, 0.0, 0.0, 0.0, 0.0))
     if not rows:
-        return {"ap": 0.0, "trans_err": 1.0}
+        return {"ap": 0.0}
     rows.sort(key=lambda r: -r[0])
     tp = np.cumsum([r[1] for r in rows])
     fp = np.cumsum([not r[1] for r in rows])
@@ -58,9 +98,26 @@ def _ap_single(
     prec_interp = np.interp(rec_interp, recall, precision, right=0.0)
     prec = prec_interp[rec_interp >= _MIN_RECALL]
     prec = np.maximum(prec - _MIN_PRECISION, 0.0) / (1.0 - _MIN_PRECISION)
-    ap = float(np.mean(prec))
-    errs = [r[2] for r in rows if r[1]]
-    return {"ap": ap, "trans_err": float(np.mean(errs)) if errs else 1.0}
+    out = {"ap": float(np.mean(prec))}
+    matched = [r for r in rows if r[1]]
+    if matched:
+        out["trans_err"] = float(np.mean([r[2] for r in matched]))
+        out["scale_err"] = float(np.mean([r[3] for r in matched]))
+        out["orient_err"] = float(np.mean([r[4] for r in matched]))
+        aves = [r[5] for r in matched if not np.isnan(r[5])]
+        if aves:
+            out["vel_err"] = float(np.mean(aves))
+    else:
+        out.update(trans_err=1.0, scale_err=1.0, orient_err=1.0)
+    return out
+
+
+def _rows(arr, width_default: int = 7) -> np.ndarray:
+    """Coerce a frame's boxes to 2D [N, >=7] (size-0 inputs stay valid)."""
+    a = np.asarray(arr, np.float32)
+    if a.ndim != 2:
+        a = a.reshape(-1, width_default) if a.size else np.zeros((0, width_default), np.float32)
+    return a
 
 
 def eval_nuscenes_map(
@@ -68,38 +125,66 @@ def eval_nuscenes_map(
     dt_annos: Sequence[Dict],
     classes: Sequence[str],
 ) -> Dict[str, float]:
-    """Center-distance mAP per the devkit protocol.
+    """Center-distance mAP + NDS per the devkit protocol.
 
-    Annos per frame: gt {'boxes_3d' [N,7], 'labels' [N]};
-    dt {'boxes_3d' [M,7], 'labels' [M], 'score' [M]}.
+    Annos per frame: gt {'boxes_3d' [N,7], 'labels' [N], 'vel' [N,2] optional};
+    dt {'boxes_3d' [M,>=7] (columns 7:9 = vel if present), 'labels' [M],
+    'score' [M], 'vel' [M,2] optional}.
     """
     results: Dict[str, float] = {}
     aps = []
-    trans_errs = []
+    errs = {"trans_err": [], "scale_err": [], "orient_err": [], "vel_err": []}
     for ci, cls in enumerate(classes):
         cls_aps = []
         for thr in DIST_THRESHOLDS:
-            gt_c, dt_c, dt_s = [], [], []
+            gt_b, gt_v, dt_b, dt_s, dt_v = [], [], [], [], []
             for gt, dt in zip(gt_annos, dt_annos):
                 gsel = np.asarray(gt["labels"]) == ci
                 dsel = np.asarray(dt["labels"]) == ci
-                gt_c.append(np.asarray(gt["boxes_3d"], np.float32).reshape(-1, 7)[gsel])
-                dt_c.append(np.asarray(dt["boxes_3d"], np.float32).reshape(-1, 7)[dsel])
+                gb = _rows(gt["boxes_3d"])[gsel]
+                db = _rows(dt["boxes_3d"])[dsel]
+                gt_b.append(gb[:, :7])
+                dt_b.append(db[:, :7])
                 dt_s.append(np.asarray(dt["score"], np.float32)[dsel])
-            r = _ap_single(gt_c, dt_c, dt_s, thr)
+                gv = gt.get("vel")
+                gt_v.append(np.asarray(gv, np.float32)[gsel] if gv is not None else None)
+                if dt.get("vel") is not None:
+                    dt_v.append(np.asarray(dt["vel"], np.float32)[dsel])
+                elif db.shape[1] >= 9:
+                    dt_v.append(db[:, 7:9])
+                else:
+                    dt_v.append(None)
+            r = _ap_single(gt_b, gt_v, dt_b, dt_s, dt_v, thr, cls)
             if r is None:
                 continue
             cls_aps.append(r["ap"])
-            if thr == 2.0:
-                trans_errs.append(r["trans_err"])
+            if thr == TP_THRESHOLD:
+                if "trans_err" in r:
+                    errs["trans_err"].append(r["trans_err"])
+                    errs["scale_err"].append(r["scale_err"])
+                    if cls not in _NO_ORIENT:
+                        errs["orient_err"].append(r["orient_err"])
+                    if cls not in _NO_VEL and "vel_err" in r:
+                        errs["vel_err"].append(r["vel_err"])
         if cls_aps:
             ap_c = float(np.mean(cls_aps))
             results[f"{cls}_AP"] = ap_c * 100.0
             aps.append(ap_c)
     m_ap = float(np.mean(aps)) if aps else 0.0
     results["mAP"] = m_ap * 100.0
-    # simplified NDS: devkit NDS = (5*mAP + sum(1 - min(err, 1)))/10 over 5 TP
-    # metrics; translation error is the one this pipeline measures end to end
-    mate = float(np.mean(trans_errs)) if trans_errs else 1.0
-    results["NDS_simplified"] = (5 * m_ap + 5 * max(1 - mate, 0.0)) / 10.0 * 100.0
+
+    tp_scores = []
+    for name, key in (("mATE", "trans_err"), ("mASE", "scale_err"),
+                      ("mAOE", "orient_err"), ("mAVE", "vel_err")):
+        vals = errs[key]
+        if vals:
+            mean_err = float(np.mean(vals))
+            results[name] = mean_err
+            tp_scores.append(max(1.0 - min(mean_err, 1.0), 0.0))
+    # devkit NDS = (5*mAP + sum over TP metrics of (1-min(err,1))) / 10 with 5
+    # TP metrics; renormalized here over the measured ones (no attributes)
+    denom = 5 + len(tp_scores)
+    nds = (5 * m_ap + sum(tp_scores)) / denom
+    results["NDS"] = nds * 100.0
+    results["NDS_simplified"] = results["NDS"]  # backward-compat alias
     return results

@@ -246,5 +246,9 @@ def adversary_direct_terms(
         "loss_imbalance": 10.0 * adv_aux["imbalance_loss"],
         "loss_l2_regularization": loss_reg,
         "perturbation_l2_norm": jax.lax.stop_gradient(l2),
+        # routed to the reference-schema l2_norms.csv 'L2 Percentage' column
+        # (voxel_perturber.py:411-432)
+        "l2_percentage": jax.lax.stop_gradient(adv_aux.get("l2_percentage", jnp.float32(0.0))),
+        "max_perturbation": jax.lax.stop_gradient(adv_aux.get("max_perturbation", jnp.float32(0.0))),
     }
     return total, logs

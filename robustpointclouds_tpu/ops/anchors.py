@@ -24,7 +24,14 @@ def generate_anchors(
     Args:
         feature_size: (ny, nx) BEV feature map size, e.g. (200, 176).
         ranges: per-class [x_min, y_min, z, x_max, y_max, z] anchor ranges
-            (z duplicated: single z plane per class).
+            (z duplicated: single z plane per class). Following the mmdet3d
+            convention the range z is the anchor BOTTOM: mmdet3d's
+            `DeltaXYZWLHRBBoxCoder.encode` shifts both anchor and GT by
+            +h/2 before taking deltas, so the anchor's *effective* gravity
+            center is `z + dz/2`. This framework stores gravity-center z
+            everywhere (see data/kitti.py label conversion), so the shift is
+            applied here, once, at generation time — decoded boxes from
+            converted mmdet3d zoo checkpoints land at the correct height.
         sizes: per-class [dx, dy, dz] anchor sizes.
         rotations: anchor yaw angles.
 
@@ -44,7 +51,8 @@ def generate_anchors(
         # torch.linspace(range_min, range_max, n) placement).
         x_centers = np.linspace(x_min, x_max, nx, dtype=np.float32)
         y_centers = np.linspace(y_min, y_max, ny, dtype=np.float32)
-        z_center = np.float32((z_lo + z_hi) * 0.5)
+        # range z is the box bottom (mmdet3d convention) -> gravity center
+        z_center = np.float32((z_lo + z_hi) * 0.5 + size[2] * 0.5)
         for ri, rot in enumerate(rotations):
             out[:, :, ci, ri, 0] = x_centers[None, :]
             out[:, :, ci, ri, 1] = y_centers[:, None]

@@ -55,15 +55,23 @@ def convert_sparse_conv_weight(w: np.ndarray) -> np.ndarray:
     """spconv kernel -> img2col [K*Cin, Cout].
 
     Accepts (out, kz, ky, kx, in) [spconv2] or (kz, ky, kx, in, out)
-    [spconv1], detected by which end holds the channel dims.
+    [spconv1]. The layouts are distinguished by where the kernel (spatial)
+    dims sit: every SECOND kernel dim is <= 3 while every channel dim is
+    >= 4, so the test is unambiguous for real checkpoints — anything that
+    matches neither (or both) is a hard error rather than a silent
+    mis-transpose that merge_into_params would then drop on shape mismatch.
     """
     if w.ndim != 5:
         raise ValueError(f"expected 5D sparse conv weight, got {w.shape}")
-    # spconv2: (out, kz, ky, kx, in) — spatial dims in the middle
-    # spconv1: (kz, ky, kx, in, out) — spatial dims leading
     ks = w.shape
-    if ks[1] == ks[2] or (ks[1], ks[2], ks[3]) in {(3, 3, 3), (3, 1, 1)}:
-        # (out, kz, ky, kx, in)
+    spatial_mid = all(d <= 3 for d in ks[1:4]) and ks[0] > 3  # spconv2
+    spatial_lead = all(d <= 3 for d in ks[0:3]) and ks[3] > 3  # spconv1
+    if spatial_mid == spatial_lead:
+        raise ValueError(
+            f"ambiguous sparse conv weight layout for shape {ks}: cannot "
+            "tell spconv2 (out,kz,ky,kx,in) from spconv1 (kz,ky,kx,in,out)"
+        )
+    if spatial_mid:
         w = np.transpose(w, (1, 2, 3, 4, 0))  # -> (kz, ky, kx, in, out)
     kz, ky, kx, cin, cout = w.shape
     return w.reshape(kz * ky * kx * cin, cout)
@@ -158,12 +166,17 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
 
 
-def merge_into_params(model_params: Dict, converted: Dict) -> Tuple[Dict, list, list]:
+def merge_into_params(
+    model_params: Dict, converted: Dict, strict_prefixes: Tuple[str, ...] = ()
+) -> Tuple[Dict, list, list]:
     """Overlay converted leaves onto an initialized param tree.
 
     Returns (new_params, loaded_paths, skipped_paths). Shape mismatches are
     skipped with a report rather than failing — the adversary subtree has no
-    torch counterpart and keeps its fresh init.
+    torch counterpart and keeps its fresh init. A skip under any of
+    `strict_prefixes` raises instead: a warm start that silently drops e.g.
+    the whole middle encoder defeats its purpose (reference `load_from`,
+    adversarial-second_hv_secfpn_8xb6-80e_kitti-3d-3class.py:167).
     """
     import jax
 
@@ -187,7 +200,14 @@ def merge_into_params(model_params: Dict, converted: Dict) -> Tuple[Dict, list, 
                     loaded.append(p)
         return out
 
-    return overlay(model_params, converted), loaded, skipped
+    merged = overlay(model_params, converted)
+    if strict_prefixes:
+        bad = [s for s in skipped if s.startswith(tuple(strict_prefixes))]
+        if bad:
+            raise ValueError(
+                "warm start dropped required tensors: " + "; ".join(bad[:10])
+            )
+    return merged, loaded, skipped
 
 
 def main():
@@ -216,7 +236,8 @@ def main():
     )
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
     new_params, loaded, skipped = merge_into_params(
-        jax.tree_util.tree_map(np.asarray, state.params), converted_params
+        jax.tree_util.tree_map(np.asarray, state.params), converted_params,
+        strict_prefixes=("middle_encoder",),
     )
     new_stats, loaded_s, skipped_s = merge_into_params(
         jax.tree_util.tree_map(np.asarray, state.batch_stats), converted_stats

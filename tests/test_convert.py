@@ -64,12 +64,33 @@ def fake_mmdet3d_second_state_dict():
 class TestKernelConversions:
     def test_sparse_conv_tap_order(self):
         # value at (out=o, z, y, x, in=i) must land at row ((z*9+y*3+x)*Cin + i)
-        w = np.zeros((2, 3, 3, 3, 4), np.float32)
+        w = np.zeros((16, 3, 3, 3, 4), np.float32)
         w[1, 2, 0, 1, 3] = 7.0
         k = cvt.convert_sparse_conv_weight(w)
-        assert k.shape == (27 * 4, 2)
+        assert k.shape == (27 * 4, 16)
         tap = 2 * 9 + 0 * 3 + 1
         assert k[tap * 4 + 3, 1] == 7.0
+
+    def test_sparse_conv_spconv1_layout(self):
+        # (kz, ky, kx, in, out): same value must land at the same row
+        w = np.zeros((3, 3, 3, 4, 16), np.float32)
+        w[2, 0, 1, 3, 1] = 7.0
+        k = cvt.convert_sparse_conv_weight(w)
+        assert k.shape == (27 * 4, 16)
+        tap = 2 * 9 + 0 * 3 + 1
+        assert k[tap * 4 + 3, 1] == 7.0
+
+    def test_sparse_conv_ambiguous_layout_raises(self):
+        # tiny channels on both ends: cannot disambiguate -> hard error, not
+        # a silent mis-transpose (ADVICE round 1)
+        with pytest.raises(ValueError):
+            cvt.convert_sparse_conv_weight(np.zeros((2, 3, 3, 3, 2), np.float32))
+
+    def test_merge_strict_prefix_raises_on_drop(self):
+        model = {"middle_encoder": {"conv_input": {"kernel": np.zeros((108, 16))}}}
+        bad = {"middle_encoder": {"conv_input": {"kernel": np.zeros((16, 108))}}}
+        with pytest.raises(ValueError):
+            cvt.merge_into_params(model, bad, strict_prefixes=("middle_encoder",))
 
     def test_conv2d(self):
         w = np.zeros((8, 4, 3, 3), np.float32)

@@ -90,7 +90,29 @@ class TestCalibAndLabels:
         batches = list(kitti.kitti_val_loader(kitti_root, 1, VoxelNetConfig(),
                                               num_points=4000))
         assert len(batches) == 1
-        assert batches[0].points.shape == (1, 4000, 4)
+        batch, metas = batches[0]
+        assert batch.points.shape == (1, 4000, 4)
+        assert metas[0]["valid"]
+        assert metas[0]["gt_difficulty"].shape == (50,)
+
+    def test_val_loader_pad_rows_marked_invalid(self, kitti_root):
+        from robustpointclouds_tpu.models import VoxelNetConfig
+
+        # 1 frame into batch_size=2 -> second row is a pad duplicate
+        batches = list(kitti.kitti_val_loader(kitti_root, 2, VoxelNetConfig(),
+                                              num_points=4000))
+        _, metas = batches[0]
+        assert metas[0]["valid"] and not metas[1]["valid"]
+
+    def test_val_loader_deterministic(self, kitti_root):
+        from robustpointclouds_tpu.models import VoxelNetConfig
+        import numpy as np_
+
+        a, _ = next(iter(kitti.kitti_val_loader(kitti_root, 1, VoxelNetConfig(),
+                                                num_points=4000)))
+        b, _ = next(iter(kitti.kitti_val_loader(kitti_root, 1, VoxelNetConfig(),
+                                                num_points=4000)))
+        np_.testing.assert_array_equal(np_.asarray(a.points), np_.asarray(b.points))
 
 
 class TestTransformsRoundtrip:
@@ -111,3 +133,92 @@ class TestTransformsRoundtrip:
         d_before = np.linalg.norm(inside - box[:3], axis=1)
         d_after = np.linalg.norm(moved - new_box[:3], axis=1)
         np.testing.assert_allclose(d_before, d_after, atol=1e-4)
+
+
+@pytest.fixture
+def kitti_root2(tmp_path):
+    """Two frames with cars at different spots and dense in-box points, so
+    GT-paste crops collected from one frame fit into the other."""
+    root = tmp_path / "kitti2"
+    for sub in ("training/velodyne", "training/label_2", "training/calib", "ImageSets"):
+        os.makedirs(root / sub)
+    rng = np.random.RandomState(0)
+    tr = np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0]], np.float64)
+    # car velo positions per frame: (10, 5) and (30, -8)
+    cam_locs = [(-5.0, 1.0, 10.0), (8.0, 1.0, 30.0)]
+    velo_xy = [(10.0, 5.0), (30.0, -8.0)]
+    for i, (cam, (vx, vy)) in enumerate(zip(cam_locs, velo_xy), start=1):
+        fid = f"{i:06d}"
+        bg = np.concatenate(
+            [rng.uniform([0, -20, -2], [50, 20, 1], (2000, 3)), rng.rand(2000, 1)], 1
+        ).astype(np.float32)
+        inbox = np.zeros((60, 4), np.float32)
+        inbox[:, 0] = rng.uniform(vx - 1.5, vx + 1.5, 60)
+        inbox[:, 1] = rng.uniform(vy - 0.6, vy + 0.6, 60)
+        inbox[:, 2] = rng.uniform(-0.9, 0.4, 60)
+        inbox[:, 3] = 0.5
+        np.concatenate([bg, inbox]).tofile(root / f"training/velodyne/{fid}.bin")
+        with open(root / f"training/calib/{fid}.txt", "w") as f:
+            f.write("P2: " + " ".join(map(str, np.eye(3, 4).ravel())) + "\n")
+            f.write("R0_rect: " + " ".join(map(str, np.eye(3).ravel())) + "\n")
+            f.write("Tr_velo_to_cam: " + " ".join(map(str, tr.ravel())) + "\n")
+        with open(root / f"training/label_2/{fid}.txt", "w") as f:
+            f.write(f"Car 0.00 0 0.2 300 150 350 200 1.5 1.6 4.0 "
+                    f"{cam[0]} {cam[1]} {cam[2]} 0.2\n")
+    with open(root / "ImageSets/train.txt", "w") as f:
+        f.write("000001\n000002\n")
+    return str(root)
+
+
+class TestGTPaste:
+    def test_database_paste_reaches_sample_groups(self, kitti_root):
+        """VERDICT #6 done criterion: pasted objects appear with boxes and
+        per-class counts approach sample_groups (pool-limited here)."""
+        ds = kitti.KittiDataset(kitti_root, split="train")
+        s = ds.get(0)
+        db = T.GroundTruthDatabase(sample_groups={0: 3, 1: 3, 2: 3}, min_points=1)
+        rng = np.random.RandomState(0)
+        db.collect(s)  # pool: 1 car, 1 ped (if enough points inside)
+        out = db.paste(s, rng)
+        # pasting from a 1-crop pool can add at most 1 per class, and the
+        # original objects stay
+        assert len(out["gt_boxes"]) >= len(s["gt_boxes"])
+        assert len(out["gt_boxes"]) == len(out["gt_labels"])
+        assert "gt_difficulty" not in out or len(out["gt_difficulty"]) == len(out["gt_labels"])
+
+    def test_loader_wires_gt_paste(self, kitti_root2):
+        """kitti_epoch_loader must instantiate the database: crops collected
+        from earlier frames get pasted into later ones (gt count grows)."""
+        from robustpointclouds_tpu.models import VoxelNetConfig
+
+        loader = kitti.kitti_epoch_loader(
+            kitti_root2, 1, VoxelNetConfig(), steps_per_epoch=6,
+            num_points=4000, use_native=False, gt_paste=True,
+            sample_groups={0: 3, 1: 3, 2: 3},
+        )
+        counts = []
+        for epoch in range(2):
+            for batch in loader(epoch):
+                counts.append(int(np.asarray(batch.gt_mask).sum()))
+        # each frame has 1 GT car; once the DB holds the other frame's crop,
+        # pasted copies push the count past 1
+        assert max(counts[1:]) > 1, counts
+
+    def test_native_and_numpy_paths_both_augment_per_object(self, kitti_root2):
+        """Both loader paths must run the per-object stage (same augmentation
+        distribution)."""
+        from robustpointclouds_tpu.data.native import native_available
+        from robustpointclouds_tpu.models import VoxelNetConfig
+
+        if not native_available():
+            pytest.skip("native pipeline not built")
+        loader = kitti.kitti_epoch_loader(
+            kitti_root2, 1, VoxelNetConfig(), steps_per_epoch=6,
+            num_points=4000, use_native=True, gt_paste=True,
+            sample_groups={0: 3, 1: 3, 2: 3},
+        )
+        counts = []
+        for epoch in range(2):
+            for b in loader(epoch):
+                counts.append(int(np.asarray(b.gt_mask).sum()))
+        assert max(counts[1:]) > 1, counts

@@ -43,6 +43,33 @@ class TestAnchors:
         assert ids.shape == (24,)
         assert ids[:6].tolist() == [0, 0, 1, 1, 2, 2]
 
+    def test_anchor_z_is_mmdet3d_effective_center(self):
+        """mmdet3d's DeltaXYZWLHRBBoxCoder does za = za + ha/2 (range z is the
+        anchor BOTTOM); this framework stores gravity-center z, so generated
+        anchors must sit at range_z + dz/2 — otherwise zoo-converted models
+        decode every box ~h/2 too low (ADVICE round 1)."""
+        ranges = [[0, -40.0, -1.78, 70.4, 40.0, -1.78]]
+        sizes = [[3.9, 1.6, 1.56]]
+        a = anchor_ops.generate_anchors((4, 4), ranges, sizes)
+        assert a[0, 0, 0, 0, 2] == pytest.approx(-1.78 + 1.56 / 2)
+
+    def test_decode_parity_with_mmdet3d_semantics(self):
+        """Numeric parity: decoding a known tz must reproduce mmdet3d's
+        zg = tz*ha + (za_bottom + ha/2) - hg/2 ... expressed in bottom-z, i.e.
+        identical gravity centers."""
+        ha, hg = 1.56, 1.40
+        za_bottom = -1.78
+        tz = 0.25
+        # mmdet3d: zg_bottom + hg/2 = tz*ha + (za_bottom + ha/2)
+        expected_center = tz * ha + (za_bottom + ha / 2)
+        a = anchor_ops.generate_anchors((1, 1), [[0, 0, za_bottom, 0, 0, za_bottom]],
+                                        [[3.9, 1.6, ha]], rotations=(0.0,))
+        anchor = jnp.asarray(anchor_ops.flatten_anchors(a))
+        deltas = jnp.zeros((1, 7)).at[0, 2].set(tz).at[0, 5].set(float(np.log(hg / ha)))
+        dec = np.asarray(box_coder.decode(deltas, anchor))
+        assert dec[0, 2] == pytest.approx(expected_center, abs=1e-5)
+        assert dec[0, 5] == pytest.approx(hg, abs=1e-5)
+
 
 class TestLosses:
     def test_focal_matches_bce_at_gamma0_alpha_half(self):

@@ -6,7 +6,7 @@ import pytest
 from robustpointclouds_tpu.data import synthetic_kitti_batch
 from robustpointclouds_tpu.data.structures import PointCloudBatch
 from robustpointclouds_tpu.train import NaNLadder, TrainConfig, Trainer
-from robustpointclouds_tpu.train.hooks import reinit_adversary_params
+from robustpointclouds_tpu.train.hooks import device_nan_ladder, reinit_adversary_params
 from robustpointclouds_tpu.train.loop import split_adversary_mask
 
 from test_model import tiny_batch, tiny_cfg
@@ -102,12 +102,21 @@ class TestNaNLadder:
             nan_count=jnp.int32(nan_count), consecutive_nan=jnp.int32(consecutive)
         )
 
-    def test_lr_reduction(self):
-        ladder = NaNLadder(max_nan_count=10)
-        state = self._mk_state(nan_count=12)
-        state = ladder.update(state)
-        assert float(state.lr_scale) == pytest.approx(0.1)
-        assert ladder.lr_reduced
+    def test_lr_reduction_on_device_exactly_once(self):
+        # crossing 10 total NaNs reduces LR x0.1, exactly once
+        lr, en = jnp.float32(1.0), jnp.float32(1.0)
+        total = jnp.int32(9)
+        total, lr, en = device_nan_ladder(total, jnp.int32(1), lr, en)
+        assert float(lr) == pytest.approx(0.1)
+        total, lr, en = device_nan_ladder(total, jnp.int32(1), lr, en)
+        assert float(lr) == pytest.approx(0.1)  # not reduced again
+        assert float(en) == 1.0
+
+    def test_adversary_kill_switch_on_device(self):
+        _, lr, en = device_nan_ladder(
+            jnp.int32(100), jnp.int32(1), jnp.float32(0.1), jnp.float32(1.0)
+        )
+        assert float(en) == 0.0
 
     def test_stop_on_consecutive(self):
         ladder = NaNLadder()
@@ -115,11 +124,18 @@ class TestNaNLadder:
         ladder.update(state)
         assert ladder.should_stop
 
-    def test_adversary_kill_switch(self):
-        ladder = NaNLadder()
-        state = self._mk_state(nan_count=150)
-        state = ladder.update(state)
-        assert float(state.adversary_enabled) == 0.0
+    def test_host_reinit_once(self):
+        ladder = NaNLadder(max_nan_count=10)
+        state = self._mk_state(nan_count=12)
+        calls = []
+
+        def reinit(params):
+            calls.append(1)
+            return params
+
+        state = ladder.update(state, adversary_reinit_fn=reinit)
+        state = ladder.update(state, adversary_reinit_fn=reinit)
+        assert len(calls) == 1
 
     def test_reinit_adversary(self):
         state = self._mk_state()
@@ -132,3 +148,68 @@ class TestNaNLadder:
             np.asarray(state.params["middle_encoder"]["conv_input"]["kernel"]),
             np.asarray(params["middle_encoder"]["conv_input"]["kernel"]),
         )
+
+
+class TestNaNRecovery:
+    """A NaN batch must leave params/opt-state clean and training must recover
+    (VERDICT round-1 / ADVICE: 0*NaN=NaN in the VJP poisoned Adam forever)."""
+
+    def test_nan_batch_freezes_then_recovers(self):
+        tr = make_trainer()
+        rng = np.random.RandomState(0)
+        good = as_jnp(tiny_batch(rng))
+        state = tr.init_state(jax.random.PRNGKey(0), good)
+
+        bad_np = tiny_batch(rng)
+        pts = np.array(bad_np.points)
+        pts[0, :8, :3] = np.nan  # NaN points inside the mask -> NaN loss
+        bad = as_jnp(bad_np._replace(points=jnp.asarray(pts)))
+
+        p_before = jax.tree_util.tree_leaves(state.params)[0]
+        state, logs = tr.train_step(state, bad, epoch=5)
+        assert int(state.nan_count) == 1
+        # params unchanged by the NaN step
+        np.testing.assert_allclose(
+            np.asarray(p_before),
+            np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+        )
+        # all params still finite
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            assert bool(jnp.all(jnp.isfinite(leaf)))
+
+        # a following good step still learns: params move and stay finite
+        state, logs = tr.train_step(state, good, epoch=5)
+        assert bool(jnp.isfinite(logs["loss"]))
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            assert bool(jnp.all(jnp.isfinite(leaf)))
+        assert not np.allclose(
+            np.asarray(p_before),
+            np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+        )
+
+
+class TestAdversarialLossWeight:
+    """adversarial_loss_weight must scale the adversary's det-loss gradient
+    (reference freeze mode sets 0.5, train_kitti_3class_adversarial.py:208)."""
+
+    def test_grl_scale_linear_in_weight(self):
+        rng = np.random.RandomState(0)
+        batch = as_jnp(tiny_batch(rng))
+
+        def adv_grads(w):
+            tr = Trainer(
+                model_cfg=tiny_cfg(),
+                train_cfg=TrainConfig(adversarial_loss_weight=w),
+            )
+            state = tr.init_state(jax.random.PRNGKey(0), batch)
+            g = jax.grad(tr._loss_fn, has_aux=True)(
+                state.params, state.batch_stats, batch,
+                jnp.float32(5.0), jnp.float32(1.0),
+            )[0]
+            return np.asarray(g["adversary"]["mlp_0"]["kernel"])
+
+        g1, g05, g0 = adv_grads(1.0), adv_grads(0.5), adv_grads(0.0)
+        # grad(w) = w * g_det + g_direct  ->  g1 - g05 == g05 - g0
+        np.testing.assert_allclose(g1 - g05, g05 - g0, rtol=1e-3, atol=1e-6)
+        # and the det-loss component is actually nonzero
+        assert np.abs(g1 - g0).max() > 0
