@@ -20,8 +20,18 @@ REFERENCE_FPS_ESTIMATE = 12.0
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # The fused train step is a large graph and this host has few CPUs —
+    # cold compile can exceed 10 minutes. A persistent compilation cache
+    # makes every run after the first take seconds.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from robustpointclouds_tpu.data import synthetic_kitti_batch
     from robustpointclouds_tpu.data.structures import PointCloudBatch

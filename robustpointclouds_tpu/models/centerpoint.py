@@ -55,6 +55,7 @@ class CenterPointConfig(NamedTuple):
     adversarial_loss_weight: float = 0.05
     regularization_weight: float = 0.005
     adversary_start_epoch: int = 3
+    compute_dtype: str = "bfloat16"  # see VoxelNetConfig.compute_dtype
 
     @property
     def bev_feature_size(self) -> Tuple[int, int]:
@@ -74,11 +75,13 @@ class AdversarialCenterPoint(nn.Module):
 
     def setup(self):
         vz = self.cfg.voxelizer
+        dt = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
         self.pts_middle_encoder = SparseEncoder(
-            sparse_shape=vz.sparse_shape, in_channels=self.cfg.num_point_features
+            sparse_shape=vz.sparse_shape, in_channels=self.cfg.num_point_features,
+            dtype=dt,
         )
-        self.pts_backbone = SECONDBackbone()
-        self.pts_neck = SECONDFPN()
+        self.pts_backbone = SECONDBackbone(dtype=dt)
+        self.pts_neck = SECONDFPN(dtype=dt)
         self.pts_bbox_head = CenterHead(tasks=self.cfg.tasks)
         if self.cfg.adversary is not None:
             self.adversary = VoxelPerturber(

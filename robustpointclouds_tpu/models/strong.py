@@ -72,13 +72,19 @@ class StrongAdversarialVoxelNet(nn.Module):
 
     def setup(self):
         vz = self.cfg.base.voxelizer
-        self.middle_encoder = SparseEncoder(sparse_shape=vz.sparse_shape)
-        self.backbone = SECONDBackbone()
-        self.neck = SECONDFPN()
+        dt = (
+            jnp.bfloat16
+            if self.cfg.base.compute_dtype == "bfloat16"
+            else jnp.float32
+        )
+        self.middle_encoder = SparseEncoder(sparse_shape=vz.sparse_shape, dtype=dt)
+        self.backbone = SECONDBackbone(dtype=dt)
+        self.neck = SECONDFPN(dtype=dt)
         self.bbox_head = Anchor3DHead(
             num_classes=self.cfg.base.num_classes,
             num_anchors_per_loc=len(self.cfg.base.anchor_sizes)
             * len(self.cfg.base.anchor_rotations),
+            dtype=dt,
         )
         self.adversary = StrongVoxelPerturber(
             num_features=4,

@@ -79,6 +79,10 @@ class VoxelNetConfig(NamedTuple):
     adversarial_loss_weight: float = 0.1
     regularization_weight: float = 0.02
     adversary_start_epoch: int = 3
+    # compute dtype of the encoder/backbone/neck/head ("bfloat16"|"float32").
+    # Params, BN statistics, losses, box decoding, and the adversary all stay
+    # f32; bf16 has the f32 exponent range so no loss scaling is needed.
+    compute_dtype: str = "bfloat16"
 
     @property
     def bev_feature_size(self) -> Tuple[int, int]:
@@ -113,12 +117,14 @@ class AdversarialVoxelNet(nn.Module):
     def setup(self):
         vz = self.cfg.voxelizer
         nx, ny, nz = vz.grid_size
-        self.middle_encoder = SparseEncoder(sparse_shape=vz.sparse_shape)
-        self.backbone = SECONDBackbone()
-        self.neck = SECONDFPN()
+        dt = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.middle_encoder = SparseEncoder(sparse_shape=vz.sparse_shape, dtype=dt)
+        self.backbone = SECONDBackbone(dtype=dt)
+        self.neck = SECONDFPN(dtype=dt)
         self.bbox_head = Anchor3DHead(
             num_classes=self.cfg.num_classes,
             num_anchors_per_loc=len(self.cfg.anchor_sizes) * len(self.cfg.anchor_rotations),
+            dtype=dt,
         )
         if self.cfg.adversary is not None:
             self.adversary = VoxelPerturber(

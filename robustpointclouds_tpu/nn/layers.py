@@ -41,6 +41,8 @@ class MaskedBatchNorm(nn.Module):
 
     momentum: float = 0.9
     eps: float = 1e-3
+    # compute/output dtype; statistics, running stats, and params are always
+    # f32 regardless (bf16 means/vars drift badly over long runs)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -51,9 +53,10 @@ class MaskedBatchNorm(nn.Module):
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
 
+        xs = x.astype(jnp.float32)
         if train:
-            mu = masked_mean(x, mask, axis=0, keepdims=False)
-            var = masked_mean((x - mu[None, :]) ** 2, mask, axis=0, keepdims=False)
+            mu = masked_mean(xs, mask, axis=0, keepdims=False)
+            var = masked_mean((xs - mu[None, :]) ** 2, mask, axis=0, keepdims=False)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mu
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
@@ -61,5 +64,5 @@ class MaskedBatchNorm(nn.Module):
             mu, var = ra_mean.value, ra_var.value
 
         inv = jax.lax.rsqrt(var[None, :] + self.eps)
-        y = (x - mu[None, :]) * inv
-        return y * scale[None, :] + bias[None, :]
+        y = (xs - mu[None, :]) * inv
+        return (y * scale[None, :] + bias[None, :]).astype(self.dtype)

@@ -18,6 +18,8 @@ class ConvBNReLU(nn.Module):
     channels: int
     stride: int = 1
     kernel: int = 3
+    # compute dtype (params f32; flax BN promotes stat reductions to f32)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -27,8 +29,12 @@ class ConvBNReLU(nn.Module):
             strides=(self.stride, self.stride),
             padding="SAME",
             use_bias=False,
+            dtype=self.dtype,
+        )(x.astype(self.dtype))
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-3,
+            dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-3)(x)
         return nn.relu(x)
 
 
@@ -38,6 +44,7 @@ class SECONDBackbone(nn.Module):
     out_channels: Sequence[int] = (128, 256)
     layer_nums: Sequence[int] = (5, 5)
     layer_strides: Sequence[int] = (1, 2)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool) -> Tuple[jnp.ndarray, ...]:
@@ -45,9 +52,9 @@ class SECONDBackbone(nn.Module):
         for i, (ch, n, s) in enumerate(
             zip(self.out_channels, self.layer_nums, self.layer_strides)
         ):
-            x = ConvBNReLU(ch, stride=s, name=f"stage{i}_conv0")(x, train)
+            x = ConvBNReLU(ch, stride=s, dtype=self.dtype, name=f"stage{i}_conv0")(x, train)
             for j in range(n):
-                x = ConvBNReLU(ch, name=f"stage{i}_conv{j + 1}")(x, train)
+                x = ConvBNReLU(ch, dtype=self.dtype, name=f"stage{i}_conv{j + 1}")(x, train)
             outs.append(x)
         return tuple(outs)
 
@@ -57,20 +64,26 @@ class SECONDFPN(nn.Module):
 
     out_channels: Sequence[int] = (256, 256)
     upsample_strides: Sequence[int] = (1, 2)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats: Tuple[jnp.ndarray, ...], train: bool) -> jnp.ndarray:
         ups = []
         for i, (x, ch, s) in enumerate(zip(feats, self.out_channels, self.upsample_strides)):
+            x = x.astype(self.dtype)
             if s > 1:
                 x = nn.ConvTranspose(
-                    ch, (s, s), strides=(s, s), use_bias=False, name=f"deblock{i}_deconv"
+                    ch, (s, s), strides=(s, s), use_bias=False, dtype=self.dtype,
+                    name=f"deblock{i}_deconv",
                 )(x)
             else:
-                x = nn.Conv(ch, (s, s), strides=(s, s), use_bias=False, name=f"deblock{i}_conv")(x)
+                x = nn.Conv(
+                    ch, (s, s), strides=(s, s), use_bias=False, dtype=self.dtype,
+                    name=f"deblock{i}_conv",
+                )(x)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-3,
-                name=f"deblock{i}_bn",
+                dtype=self.dtype, name=f"deblock{i}_bn",
             )(x)
             ups.append(nn.relu(x))
         return jnp.concatenate(ups, axis=-1)

@@ -51,28 +51,49 @@ class SparseConvBlock(nn.Module):
 
     out_channels: int
     symmetric_taps: bool = True
+    # compute dtype for the gather+matmul (params and BN stats stay f32);
+    # bf16 halves the img2col gather traffic, the dominant cost on TPU
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, idx, out_mask, train: bool, inv_idx=None):
-        n_out, ktaps = idx.shape
+    def __call__(self, feats, idx, out_mask, train: bool, inv_idx=None, win=None):
+        """`win` (sparse.WindowInfo) selects the wide-row windowed gather —
+        G·N gathered rows instead of K·N; `idx` is the dense [N, K] fallback
+        (still required for strided convs' inverse-side backward)."""
+        if win is not None:
+            ktaps = win.num_taps
+        else:
+            _, ktaps = idx.shape
         cin = feats.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (ktaps * cin, self.out_channels),
         )
+        feats = feats.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
 
         if self.symmetric_taps:
-            out = subm_conv_ops.subm_conv(feats, kernel, idx)
+            if win is not None:
+                out = subm_conv_ops.subm_conv_windowed(
+                    win.kx, feats, kernel, win.p, win.delta
+                )
+            else:
+                out = subm_conv_ops.subm_conv(feats, kernel, idx)
+        elif win is not None and inv_idx is not None:
+            kx_arr = jnp.zeros((win.kx,), jnp.int32)
+            out = subm_conv_ops.strided_conv_windowed(
+                feats, kernel, win.p, win.delta, kx_arr, inv_idx
+            )
         elif inv_idx is not None:
             out = subm_conv_ops.strided_conv_t(feats, kernel, idx, inv_idx)
         else:
             out = jax.checkpoint(
                 lambda f: subm_conv_ops.strided_conv(f, kernel, idx)
             )(feats)
-        out = MaskedBatchNorm()(out, out_mask, train)
+        out = MaskedBatchNorm(dtype=self.dtype)(out, out_mask, train)
         out = nn.relu(out)
-        return jnp.where(out_mask[:, None], out, 0.0)
+        return jnp.where(out_mask[:, None], out, jnp.zeros((), self.dtype))
 
 
 class SparseEncoder(nn.Module):
@@ -88,6 +109,7 @@ class SparseEncoder(nn.Module):
     # dilation, so these defaults hold with margin
     stage_cap_factors: Sequence[float] = (1.0, 1.0, 0.75, 0.5)
     out_cap_factor: float = 0.5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, voxel_features, grid: sparse.SparseGrid, train: bool):
@@ -100,16 +122,18 @@ class SparseEncoder(nn.Module):
         """
         n_cap = voxel_features.shape[0]
 
-        def subm_idx(g: sparse.SparseGrid):
-            # kernel_size (not offsets) enables the grouped windowed lookup
-            return sparse.neighbor_index(
+        def subm_win(g: sparse.SparseGrid):
+            # one window build per grid resolution, shared by every subm conv
+            return sparse.neighbor_window_info(
                 g, g.coords, g.mask, _SUBM_KERNEL, (1, 1, 1, 1), (0, 1, 1, 1)
             )
 
         x = voxel_features
         g = grid
-        idx = subm_idx(g)
-        x = SparseConvBlock(self.base_channels, name="conv_input")(x, idx, g.mask, train)
+        win = subm_win(g)
+        x = SparseConvBlock(self.base_channels, dtype=self.dtype, name="conv_input")(
+            x, None, g.mask, train, win=win
+        )
         for i, stage in enumerate(self.encoder_channels):
             for j, ch in enumerate(stage):
                 if i != 0 and j == 0:
@@ -124,20 +148,27 @@ class SparseEncoder(nn.Module):
                         g, k4, s4, p4,
                         out_cap=max(int(n_cap * self.stage_cap_factors[i]), 1),
                     )
-                    down_offs = sparse.kernel_offsets(k4)
-                    down_idx = sparse.neighbor_index(
+                    down_win = sparse.neighbor_window_info(
                         g, new_g.coords, new_g.mask, k4, s4, p4
                     )
-                    down_inv = sparse.inverse_neighbor_index(g, new_g, down_offs, s4, p4)
+                    # inverse for the backward gather, built by scatter from
+                    # the (expanded) forward index — no extra rank sort
+                    down_inv = sparse.inverse_from_forward(
+                        sparse.window_info_to_index(down_win), g.flat_ids.shape[0]
+                    )
                     x = SparseConvBlock(
-                        ch, symmetric_taps=False, name=f"stage{i}_down"
-                    )(x, down_idx, new_g.mask, train, inv_idx=down_inv)
+                        ch, symmetric_taps=False, dtype=self.dtype,
+                        name=f"stage{i}_down",
+                    )(x, None, new_g.mask, train, inv_idx=down_inv, win=down_win)
                     g = new_g
-                    idx = subm_idx(g)
+                    win = subm_win(g)
                 else:
-                    x = SparseConvBlock(ch, name=f"stage{i}_subm{j}")(x, idx, g.mask, train)
+                    x = SparseConvBlock(ch, dtype=self.dtype, name=f"stage{i}_subm{j}")(
+                        x, None, g.mask, train, win=win
+                    )
 
-        # conv_out: kernel (3,1,1) stride (2,1,1) padding 0 over (z,y,x)
+        # conv_out: kernel (3,1,1) stride (2,1,1) padding 0 over (z,y,x) —
+        # kx == 1, so the window form degenerates; dense index path
         k4, s4, p4 = (1, 3, 1, 1), (1, 2, 1, 1), (0, 0, 0, 0)
         out_g = sparse.downsample_sites(
             g, k4, s4, p4, out_cap=max(int(n_cap * self.out_cap_factor), 1)
@@ -146,9 +177,10 @@ class SparseEncoder(nn.Module):
         out_idx = sparse.neighbor_index(
             g, out_g.coords, out_g.mask, out_offs, s4, p4
         )
-        out_inv = sparse.inverse_neighbor_index(g, out_g, out_offs, s4, p4)
+        out_inv = sparse.inverse_from_forward(out_idx, g.flat_ids.shape[0])
         x = SparseConvBlock(
-            self.out_channels, symmetric_taps=False, name="conv_out"
+            self.out_channels, symmetric_taps=False, dtype=self.dtype,
+            name="conv_out",
         )(x, out_idx, out_g.mask, train, inv_idx=out_inv)
 
         dense = sparse.scatter_to_dense(x, out_g)  # [B, Dz, H', W', C]
