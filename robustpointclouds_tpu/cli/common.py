@@ -225,8 +225,12 @@ def run_evaluation(
     for item in batches:
         # loaders may yield (batch, metas) with per-row gt difficulty and a
         # validity flag (False on rows padding the last short batch — those
-        # must not be scored twice), or a bare batch
-        batch, metas = item if isinstance(item, tuple) else (item, None)
+        # must not be scored twice), or a bare PointCloudBatch (itself a
+        # NamedTuple, so isinstance(tuple) alone can't distinguish the two)
+        if isinstance(item, PointCloudBatch):
+            batch, metas = item, None
+        else:
+            batch, metas = item
         outs = trainer.forward_eval(state, batch, attack=attack)
         boxes, scores, labels, mask = predict(outs.cls_scores, outs.bbox_preds, outs.dir_preds)
         for b in range(batch.points.shape[0]):

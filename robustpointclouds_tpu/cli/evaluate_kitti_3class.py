@@ -17,6 +17,17 @@ def parse_args():
     p = argparse.ArgumentParser(description="KITTI 3-class evaluation")
     p.add_argument("--mode", choices=("clean", "adversarial", "both"), default="both")
     p.add_argument("--checkpoint", default=None, help="explicit checkpoint dir")
+    p.add_argument(
+        "--load-from", default=None,
+        help="zoo warm start (.pth or converted orbax dir) scored when the "
+        "work dir has no checkpoint — the reference's clean mode evaluates a "
+        "zoo checkpoint (evaluate_kitti_3class.py:57-61)",
+    )
+    p.add_argument(
+        "--allow-random-init", action="store_true",
+        help="score an untrained model when no checkpoint exists (smoke runs "
+        "only; default is a hard error so clean mAP can't silently be noise)",
+    )
     p.add_argument("--work-dir", default="work_dirs/kitti_3class_adversarial")
     p.add_argument("--data-root", default="data/kitti")
     p.add_argument("--batch-size", type=int, default=6)
@@ -28,7 +39,8 @@ def parse_args():
 
 
 def evaluate_checkpoint(work_dir, data_root, batch_size, synthetic, limit,
-                        attack=False, tiny=False):
+                        attack=False, tiny=False, load_from=None,
+                        allow_random_init=False):
     import jax
 
     from ..models import VoxelNetConfig
@@ -69,11 +81,22 @@ def evaluate_checkpoint(work_dir, data_root, batch_size, synthetic, limit,
     state = trainer.init_state(jax.random.PRNGKey(0), sample)
     ckpt = CheckpointManager(work_dir)
     latest = ckpt.latest_epoch()
-    if latest is None:
-        print(f"[warn] no checkpoint in {work_dir}; evaluating random init")
-    else:
+    if latest is not None:
         state = ckpt.restore(state)
         print(f"[eval] restored epoch {latest} from {work_dir}")
+    elif load_from is not None:
+        from ..train.checkpoint import load_pretrained
+
+        state = load_pretrained(state, load_from)
+        print(f"[eval] no checkpoint in {work_dir}; warm start from {load_from}")
+    elif allow_random_init:
+        print(f"[warn] no checkpoint in {work_dir}; evaluating RANDOM INIT "
+              "(--allow-random-init)")
+    else:
+        raise FileNotFoundError(
+            f"no checkpoint in {work_dir!r} and no --load-from given; refusing "
+            "to score a random init (pass --allow-random-init for smoke runs)"
+        )
 
     return run_evaluation(trainer, state, iter(batches) if isinstance(batches, list) else batches,
                           attack=attack)
@@ -92,7 +115,8 @@ def main():
         try:
             results["clean"] = evaluate_checkpoint(
                 wd, args.data_root, args.batch_size, args.synthetic, args.limit,
-                tiny=args.tiny,
+                tiny=args.tiny, load_from=args.load_from,
+                allow_random_init=args.allow_random_init,
             )
             print(json.dumps(results["clean"], indent=2))
         except Exception as e:  # keep the reference's per-mode SUCCESS/FAIL table
@@ -104,7 +128,8 @@ def main():
         try:
             results["adversarial"] = evaluate_checkpoint(
                 wd, args.data_root, args.batch_size, args.synthetic, args.limit,
-                tiny=args.tiny,
+                tiny=args.tiny, load_from=args.load_from,
+                allow_random_init=args.allow_random_init,
             )
             print(json.dumps(results["adversarial"], indent=2))
         except Exception as e:

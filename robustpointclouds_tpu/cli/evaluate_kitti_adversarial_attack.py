@@ -24,6 +24,8 @@ def parse_args():
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--allow-random-init", action="store_true",
+                   help="permit scoring an untrained model (smoke runs only)")
     return p.parse_args()
 
 
@@ -39,14 +41,14 @@ def main():
     print("=" * 60 + "\nCLEAN EVALUATION (for comparison)\n" + "=" * 60)
     clean = evaluate_checkpoint(
         wd, args.data_root, args.batch_size, args.synthetic, args.limit,
-        attack=False, tiny=args.tiny,
+        attack=False, tiny=args.tiny, allow_random_init=args.allow_random_init,
     )
     print(json.dumps(clean, indent=2))
 
     print("=" * 60 + "\nATTACK EVALUATION (forced perturbations, eval bounds)\n" + "=" * 60)
     attacked = evaluate_checkpoint(
         wd, args.data_root, args.batch_size, args.synthetic, args.limit,
-        attack=True, tiny=args.tiny,
+        attack=True, tiny=args.tiny, allow_random_init=args.allow_random_init,
     )
     print(json.dumps(attacked, indent=2))
 
