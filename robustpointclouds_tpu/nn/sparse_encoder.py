@@ -20,9 +20,16 @@ TPU design notes:
   * The whole batch is ONE sparse array (4D coords with batch as the leading
     axis): single big sorts/searches/matmuls, and BatchNorm statistics span
     the full batch exactly like the reference's BN1d.
-  * The submanifold neighbor index is computed ONCE per grid resolution and
-    shared by every subm conv on that grid — index construction, not the
-    matmul, dominated a naive per-layer implementation.
+  * The submanifold neighbor relation is computed ONCE per grid resolution
+    (one rank sort) and shared by every subm conv on that grid.
+  * Subm convs gather through the x-window table (ops/subm_conv.x_window_table):
+    G*N rows of width kx*C instead of K*N rows of width C. Gathers on v5e are
+    row-count-bound (measured identical for 16ch vs 64ch rows), so 3x fewer
+    rows is a direct win; the per-site slot-resolution variant that was tried
+    first lost 2-4x to VPU masking work and is gone.
+  * Strided convs use the dense [N, K] index forward (their inverse-side
+    backward needs the dense index anyway, and a second rank sort for an
+    x-window form costs more than the gather saves).
 """
 from __future__ import annotations
 
@@ -45,8 +52,8 @@ class SparseConvBlock(nn.Module):
     For submanifold convs (`symmetric_taps=True`, the default) the conv uses
     the scatter-free custom VJP (ops/subm_conv.py) — the neighbor relation is
     symmetric, so the backward is another gather, measured ~6x faster than
-    the autodiff scatter-add. Strided convs (asymmetric relation) keep the
-    autodiff path under remat.
+    the autodiff scatter-add. Strided convs (asymmetric relation) gather
+    through an inverse index in the backward (also scatter-free).
     """
 
     out_channels: int
@@ -56,12 +63,13 @@ class SparseConvBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, idx, out_mask, train: bool, inv_idx=None, win=None):
-        """`win` (sparse.WindowInfo) selects the wide-row windowed gather —
-        G·N gathered rows instead of K·N; `idx` is the dense [N, K] fallback
-        (still required for strided convs' inverse-side backward)."""
-        if win is not None:
-            ktaps = win.num_taps
+    def __call__(self, feats, out_mask, train: bool, idx=None, inv_idx=None,
+                 xwin=None, ids=None):
+        """Subm form: pass (xwin, ids) from sparse.neighbor_xwin_info on the
+        layer's grid. Strided form: pass idx (+ inv_idx for the gather-based
+        backward)."""
+        if xwin is not None:
+            ktaps = xwin.num_taps
         else:
             _, ktaps = idx.shape
         cin = feats.shape[-1]
@@ -74,17 +82,12 @@ class SparseConvBlock(nn.Module):
         kernel = kernel.astype(self.dtype)
 
         if self.symmetric_taps:
-            if win is not None:
-                out = subm_conv_ops.subm_conv_windowed(
-                    win.kx, feats, kernel, win.p, win.delta
+            if xwin is not None:
+                out = subm_conv_ops.subm_conv_xwin(
+                    xwin.kx, feats, kernel, ids, xwin.rows, xwin.xvalid
                 )
             else:
                 out = subm_conv_ops.subm_conv(feats, kernel, idx)
-        elif win is not None and inv_idx is not None:
-            kx_arr = jnp.zeros((win.kx,), jnp.int32)
-            out = subm_conv_ops.strided_conv_windowed(
-                feats, kernel, win.p, win.delta, kx_arr, inv_idx
-            )
         elif inv_idx is not None:
             out = subm_conv_ops.strided_conv_t(feats, kernel, idx, inv_idx)
         else:
@@ -122,17 +125,17 @@ class SparseEncoder(nn.Module):
         """
         n_cap = voxel_features.shape[0]
 
-        def subm_win(g: sparse.SparseGrid):
+        def subm_xwin(g: sparse.SparseGrid):
             # one window build per grid resolution, shared by every subm conv
-            return sparse.neighbor_window_info(
+            return sparse.neighbor_xwin_info(
                 g, g.coords, g.mask, _SUBM_KERNEL, (1, 1, 1, 1), (0, 1, 1, 1)
             )
 
         x = voxel_features
         g = grid
-        win = subm_win(g)
+        xwin = subm_xwin(g)
         x = SparseConvBlock(self.base_channels, dtype=self.dtype, name="conv_input")(
-            x, None, g.mask, train, win=win
+            x, g.mask, train, xwin=xwin, ids=g.flat_ids
         )
         for i, stage in enumerate(self.encoder_channels):
             for j, ch in enumerate(stage):
@@ -144,44 +147,32 @@ class SparseEncoder(nn.Module):
                         (1, 2, 2, 2),
                         (0, zpad, 1, 1),
                     )
-                    new_g = sparse.downsample_sites(
+                    # one candidate sort yields sites + forward + inverse index
+                    new_g, down_idx, down_inv = sparse.downsample_with_index(
                         g, k4, s4, p4,
                         out_cap=max(int(n_cap * self.stage_cap_factors[i]), 1),
-                    )
-                    down_win = sparse.neighbor_window_info(
-                        g, new_g.coords, new_g.mask, k4, s4, p4
-                    )
-                    # inverse for the backward gather, built by scatter from
-                    # the (expanded) forward index — no extra rank sort
-                    down_inv = sparse.inverse_from_forward(
-                        sparse.window_info_to_index(down_win), g.flat_ids.shape[0]
                     )
                     x = SparseConvBlock(
                         ch, symmetric_taps=False, dtype=self.dtype,
                         name=f"stage{i}_down",
-                    )(x, None, new_g.mask, train, inv_idx=down_inv, win=down_win)
+                    )(x, new_g.mask, train, idx=down_idx, inv_idx=down_inv)
                     g = new_g
-                    win = subm_win(g)
+                    xwin = subm_xwin(g)
                 else:
                     x = SparseConvBlock(ch, dtype=self.dtype, name=f"stage{i}_subm{j}")(
-                        x, None, g.mask, train, win=win
+                        x, g.mask, train, xwin=xwin, ids=g.flat_ids
                     )
 
         # conv_out: kernel (3,1,1) stride (2,1,1) padding 0 over (z,y,x) —
-        # kx == 1, so the window form degenerates; dense index path
+        # kx == 1, so the window form degenerates; fused dense index path
         k4, s4, p4 = (1, 3, 1, 1), (1, 2, 1, 1), (0, 0, 0, 0)
-        out_g = sparse.downsample_sites(
+        out_g, out_idx, out_inv = sparse.downsample_with_index(
             g, k4, s4, p4, out_cap=max(int(n_cap * self.out_cap_factor), 1)
         )
-        out_offs = sparse.kernel_offsets(k4)
-        out_idx = sparse.neighbor_index(
-            g, out_g.coords, out_g.mask, out_offs, s4, p4
-        )
-        out_inv = sparse.inverse_from_forward(out_idx, g.flat_ids.shape[0])
         x = SparseConvBlock(
             self.out_channels, symmetric_taps=False, dtype=self.dtype,
             name="conv_out",
-        )(x, out_idx, out_g.mask, train, inv_idx=out_inv)
+        )(x, out_g.mask, train, idx=out_idx, inv_idx=out_inv)
 
         dense = sparse.scatter_to_dense(x, out_g)  # [B, Dz, H', W', C]
         b, dz, h, w, c = dense.shape

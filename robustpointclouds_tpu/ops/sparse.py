@@ -150,6 +150,48 @@ def _rank_and_hit(sorted_ids: jnp.ndarray, q: jnp.ndarray):
     return out // 2, (out % 2) == 1
 
 
+def _rank_and_succ_delta(sorted_ids: jnp.ndarray, q: jnp.ndarray, dmax: int):
+    """(insertion rank, clamped successor delta) per query via one sort.
+
+    Same packed-sort machinery as :func:`_rank_and_hit`, but instead of an
+    exact-hit bit it returns `d0 = min(ids[rank] - q, dmax)` — the id distance
+    from the query to the first table entry at-or-after it (dmax when none or
+    farther). `d0` rides the SAME int32 scatter as the rank (rank needs ~21
+    bits for KITTI sizes, d0 needs ceil(log2(dmax+1))), so the successor value
+    costs no extra gather — the naive alternative, gathering ids[rank] row by
+    row, is ~3 ms for 864k scalar rows on v5e.
+    """
+    n = sorted_ids.shape[0]
+    m = q.shape[0]
+    span = dmax + 1
+    assert (n + m) * 2 * span < INT32_MAX, "rank+delta won't pack in int32"
+    keys = jnp.concatenate(
+        [
+            jnp.minimum(sorted_ids, _PACK_CAP) * 2 + 1,
+            jnp.minimum(q, _PACK_CAP) * 2,
+        ]
+    )
+    payload = jnp.concatenate(
+        [jnp.zeros((n,), jnp.int32), jnp.arange(1, m + 1, dtype=jnp.int32)]
+    )
+    keys_s, pay_s = jax.lax.sort((keys, payload), num_keys=1)
+    is_q = pay_s > 0
+    q_before_incl = jnp.cumsum(is_q.astype(jnp.int32))
+    ins = jnp.arange(n + m, dtype=jnp.int32) - (q_before_incl - 1)
+    table_keys = jnp.where(is_q, INT32_MAX, keys_s)
+    next_table = jax.lax.associative_scan(jnp.minimum, table_keys, reverse=True)
+    # packed table key = v*2+1, packed query key = q*2 -> delta in id space
+    # is (next_table - 1)//2 - key//2; clamp BEFORE packing (sentinel-safe)
+    d0 = jnp.clip((next_table - 1) // 2 - keys_s // 2, 0, dmax)
+    packed = ins * span + d0
+    out = (
+        jnp.zeros((m + 1,), jnp.int32)
+        .at[jnp.where(is_q, pay_s, 0)]
+        .set(jnp.where(is_q, packed, 0))[1:]
+    )
+    return out // span, out % span
+
+
 def lookup(grid: SparseGrid, query_flat: jnp.ndarray) -> jnp.ndarray:
     """Find positions of query flat-ids in the grid. Misses -> N (one-past-end).
 
@@ -348,6 +390,93 @@ def neighbor_window_info(
     ok = q0_valid & slot_real & (d >= 0) & (d < kx) & (lx >= 0) & (lx < w_dim)
     delta = jnp.where(ok, d, kx).astype(jnp.int32)
     return WindowInfo(jnp.minimum(p, n), delta, kx, n)
+
+
+class XWindowInfo(NamedTuple):
+    """x-window-table form of a neighbor relation (see neighbor_xwin_info).
+
+    `rows[i, g]` indexes a row of the input-side x-window table
+    (ops/subm_conv.x_window_table): row p*kx + d0 holds the kx taps of the
+    group's base id q0 = ids[p] - d0, already resolved and zero-filled on the
+    input side. A conv is then ONE gather of G*N rows of width kx*C plus the
+    matmul — no per-(site, group) slot resolution at all (the A/B on v5e
+    showed that resolution work making the slot-windowed form 2-4x slower
+    than even the dense 27-row gather, while gather time is row-count-bound:
+    identical for 16ch and 64ch rows).
+
+    `xvalid[i, t]` masks taps whose x coordinate (out_x*stride - pad + t)
+    falls outside [0, W): id arithmetic wraps x overflow into the next y row,
+    and in exactly that case the table's own bounds check is fooled (the
+    aliased row legitimately holds its OWN x-neighbors), so the exclusion
+    must come from the output side.
+    """
+
+    rows: jnp.ndarray    # [N, G] int32 in [0, n_in*kx]; n_in*kx = miss row
+    xvalid: jnp.ndarray  # [N, kx] bool
+    kx: int
+    n_in: int
+
+    @property
+    def num_taps(self) -> int:
+        return self.rows.shape[1] * self.kx
+
+
+def neighbor_xwin_info(
+    in_grid: SparseGrid,
+    out_coords: jnp.ndarray,
+    out_mask: jnp.ndarray,
+    kernel_size: Sequence[int],
+    stride: Sequence[int] = None,
+    padding: Sequence[int] = None,
+) -> XWindowInfo:
+    """Neighbor relation for the x-window-table gather conv.
+
+    One rank sort of (1 + G)·N keys; the successor delta d0 (which table row
+    within the kx-wide window the rank points at) rides the same sort via
+    :func:`_rank_and_succ_delta`, so no per-query id gather is needed.
+    """
+    ndim = in_grid.ndim
+    stride = (1,) * ndim if stride is None else stride
+    padding = (1,) * ndim if padding is None else padding
+    kernel_size = tuple(int(v) for v in kernel_size)
+    kx = kernel_size[-1]
+    in_shape = in_grid.spatial_shape
+    strides = _strides_of(in_shape)
+    n = in_grid.flat_ids.shape[0]
+    id_space = int(np.prod([int(s) for s in in_shape], dtype=np.int64))
+    # NOTE: no constraint relating W and kx — taps are matched purely by flat
+    # id (unique), and out-of-range x taps are excluded by xvalid, so windows
+    # that span multiple y rows are handled exactly
+    assert id_space + kx < _PACK_CAP, "flat id space too large for packed rank sort"
+    group_offs = kernel_offsets(kernel_size[:-1])  # [G, ndim-1]
+    G = group_offs.shape[0]
+
+    base = [out_coords[:, a] * int(stride[a]) - int(padding[a]) for a in range(ndim)]
+    last = base[ndim - 1]
+    q0_cols, valid_cols = [], []
+    for g in range(G):
+        flat = last
+        valid = out_mask
+        for a in range(ndim - 1):
+            q = base[a] + int(group_offs[g, a])
+            valid = valid & (q >= 0) & (q < in_shape[a])
+            flat = flat + q * int(strides[a])
+        q0_cols.append(jnp.where(valid, flat, INT32_MAX).astype(jnp.int32))
+        valid_cols.append(valid)
+    q0 = jnp.stack(q0_cols, axis=1)        # [N, G]
+    q0_valid = jnp.stack(valid_cols, 1)    # [N, G]
+
+    p, d0 = _rank_and_succ_delta(in_grid.flat_ids, q0.reshape(-1), kx)
+    p = p.reshape(q0.shape)
+    d0 = d0.reshape(q0.shape)
+    hit = q0_valid & (d0 < kx) & (p < n)
+    rows = jnp.where(hit, p * kx + d0, n * kx).astype(jnp.int32)
+
+    # x-bounds per tap, shared across groups (x never enters group offsets)
+    w_dim = in_shape[ndim - 1]
+    lx = last[:, None] + jnp.arange(kx, dtype=jnp.int32)[None, :]
+    xvalid = (lx >= 0) & (lx < w_dim)
+    return XWindowInfo(rows, xvalid, kx, n)
 
 
 def window_info_to_index(win: WindowInfo) -> jnp.ndarray:
@@ -576,6 +705,109 @@ def downsample_sites(
         mask[:, None], _unflatten(jnp.where(mask, uniq, 0), out_shape), -1
     )
     return SparseGrid(uniq, coords, mask, out_shape)
+
+
+def downsample_with_index(
+    in_grid: SparseGrid,
+    kernel_size: Sequence[int],
+    stride: Sequence[int],
+    padding: Sequence[int],
+    out_cap: int,
+) -> Tuple[SparseGrid, jnp.ndarray, jnp.ndarray]:
+    """Downsample output sites + forward AND inverse neighbor indices from ONE
+    candidate sort.
+
+    :func:`downsample_sites` already enumerates every (input site, covering
+    output) candidate and sorts them to unique the output set. Each candidate
+    additionally determines its kernel tap (tap_a = (i_a + pad_a) mod s_a +
+    j_a * s_a), and a candidate's output row is just the unique-rank of its id
+    in that same sort. Riding an (input, tap) payload through the sort
+    therefore yields the complete inverse index inv[i, k] (collision-free: an
+    input is read by at most one output per tap), and the forward index is
+    the scatter transpose (:func:`inverse_from_forward` symmetry). This
+    replaces the separate (1+G)N-key rank sort of neighbor_index per strided
+    layer — the second-largest index cost in the encoder step.
+
+    Returns:
+        (out_grid, idx [N_out_cap, K] in [0, N_in], inv [N_in, K] in [0, cap])
+        with K = prod(kernel_size); tap order = kernel_offsets order.
+    """
+    out_shape = tuple(
+        (dim + 2 * p - k) // s + 1
+        for dim, k, s, p in zip(in_grid.spatial_shape, kernel_size, stride, padding)
+    )
+    ndim = in_grid.ndim
+    out_strides = _strides_of(out_shape)
+    K = int(np.prod([int(k) for k in kernel_size]))
+    # kernel-tap flattening strides (row-major, same order as kernel_offsets)
+    k_strides = _strides_of(tuple(int(k) for k in kernel_size) + (1,))[:-1]
+    n = in_grid.flat_ids.shape[0]
+
+    per_axis = []  # per axis: list of (o [N], tap_a [N] or int, valid [N])
+    for a in range(ndim):
+        k_a, s_a, p_a = int(kernel_size[a]), int(stride[a]), int(padding[a])
+        top = in_grid.coords[:, a] + p_a
+        cands = []
+        for j in range(-(-k_a // s_a)):  # ceil(k/s)
+            o = top // s_a - j
+            tap = top - o * s_a  # == top % s_a + j*s_a
+            valid = (
+                in_grid.mask
+                & (o * s_a >= top - k_a + 1)
+                & (o >= 0)
+                & (o < out_shape[a])
+            )
+            cands.append((o, tap, valid))
+        per_axis.append(cands)
+
+    import itertools
+
+    id_cols, pay_cols = [], []
+    row_ids = jnp.arange(n, dtype=jnp.int32)
+    for combo in itertools.product(*per_axis):
+        flat, tap_flat = None, None
+        valid = in_grid.mask
+        for a, (o, tap, v) in enumerate(combo):
+            valid = valid & v
+            term = o * int(out_strides[a])
+            flat = term if flat is None else flat + term
+            tterm = tap * int(k_strides[a])
+            tap_flat = tterm if tap_flat is None else tap_flat + tterm
+        id_cols.append(jnp.where(valid, flat, INT32_MAX).astype(jnp.int32))
+        # payload: (input row * K + tap) + 1; 0 = invalid
+        pay_cols.append(
+            jnp.where(valid, row_ids * K + tap_flat + 1, 0).astype(jnp.int32)
+        )
+    cand_ids = jnp.concatenate(id_cols, axis=0)
+    cand_pay = jnp.concatenate(pay_cols, axis=0)
+
+    ids_s, pay_s = jax.lax.sort((cand_ids, cand_pay), num_keys=1)
+    is_first = jnp.concatenate(
+        [ids_s[:1] != INT32_MAX, (ids_s[1:] != ids_s[:-1]) & (ids_s[1:] != INT32_MAX)]
+    )
+    rank = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # unique rank per cand
+    keep_uniq = is_first & (rank < out_cap)
+    uniq = jnp.full((out_cap + 1,), INT32_MAX, jnp.int32).at[
+        jnp.where(keep_uniq, rank, out_cap)
+    ].set(jnp.where(keep_uniq, ids_s, INT32_MAX))[:out_cap]
+    count = jnp.minimum(jnp.sum(is_first), out_cap).astype(jnp.int32)
+    mask = jnp.arange(out_cap) < count
+    coords = jnp.where(
+        mask[:, None], _unflatten(jnp.where(mask, uniq, 0), out_shape), -1
+    )
+    out_grid = SparseGrid(uniq, coords, mask, out_shape)
+
+    # inverse index: scatter each candidate's unique rank to (input, tap)
+    cand_ok = (pay_s > 0) & (rank >= 0) & (rank < out_cap) & (ids_s != INT32_MAX)
+    inv = (
+        jnp.full((n * K + 1,), out_cap, jnp.int32)
+        .at[jnp.where(cand_ok, pay_s - 1, n * K)]
+        .set(jnp.where(cand_ok, rank, out_cap), mode="drop")[: n * K]
+        .reshape(n, K)
+    )
+    # forward index = scatter transpose of the inverse
+    idx = inverse_from_forward(inv, out_cap)
+    return out_grid, idx, inv
 
 
 def scatter_to_dense(features: jnp.ndarray, grid: SparseGrid) -> jnp.ndarray:

@@ -181,6 +181,144 @@ def _stw_bwd(res, g):
 strided_conv_windowed.defvjp(_stw_fwd, _stw_bwd)
 
 
+def x_window_table(feats: jnp.ndarray, ids: jnp.ndarray, kx: int) -> jnp.ndarray:
+    """Input-side resolved window table: [n*kx + 1, kx*C].
+
+    Row j*kx + d = the kx consecutive-id taps of base id ids[j] - d:
+    entry t = feats[row with id ids[j] - d + t] (zero when absent). Built from
+    shifted slices + id-equality masks — ids are sorted and unique, so the row
+    holding id ids[j]+delta can only sit at j+s for s in [1, delta], giving
+    kx*(kx-1) masked shift-adds of [n, C] total (NO per-output-site factor;
+    that was what sank the slot-resolution windowed form). Pure id matching:
+    geometric x-bounds are the caller's job (XWindowInfo.xvalid) — a y-wrapped
+    id match may be a TRUE tap of a padded query, so the table must not
+    exclude it. Final row is the all-zero miss row.
+    """
+    n, c = feats.shape
+    # E[d] = features of the row with id ids[j]+d (0 if absent), d in
+    # [-(kx-1), kx-1]
+    E = {0: feats}
+    for d in range(1, kx):
+        up = jnp.zeros((n, c), feats.dtype)
+        dn = jnp.zeros((n, c), feats.dtype)
+        for s in range(1, d + 1):
+            m_up = jnp.concatenate(
+                [ids[s:] == ids[:-s] + d, jnp.zeros((s,), bool)]
+            )
+            up = up + jnp.where(
+                m_up[:, None],
+                jnp.concatenate([feats[s:], jnp.zeros((s, c), feats.dtype)]),
+                jnp.zeros((), feats.dtype),
+            )
+            m_dn = jnp.concatenate(
+                [jnp.zeros((s,), bool), ids[:-s] == ids[s:] - d]
+            )
+            dn = dn + jnp.where(
+                m_dn[:, None],
+                jnp.concatenate([jnp.zeros((s, c), feats.dtype), feats[:-s]]),
+                jnp.zeros((), feats.dtype),
+            )
+        E[d] = up
+        E[-d] = dn
+    # tbl[j, d, t] = E[t - d][j]
+    tbl = jnp.stack(
+        [
+            jnp.concatenate([E[t - d] for t in range(kx)], axis=1)
+            for d in range(kx)
+        ],
+        axis=1,
+    ).reshape(n * kx, kx * c)
+    return jnp.concatenate([tbl, jnp.zeros((1, kx * c), feats.dtype)], axis=0)
+
+
+def _gather_col_xwin(feats, ids, rows, xvalid, kx):
+    """x-window-table img2col: ONE gather of G*N rows of width kx*C.
+
+    Returns col [N, G*kx*C] in kernel_offsets order (groups-major, dx-minor),
+    identical to _gather_col on the dense index. The xvalid multiply fuses
+    into the gather consumer, so its cost is VPU-only.
+    """
+    n, c = feats.shape
+    nr, g = rows.shape
+    tbl = x_window_table(feats, ids, kx)
+    col = tbl[rows].reshape(nr, g, kx, c)
+    col = col * xvalid[:, None, :, None].astype(feats.dtype)
+    return col.reshape(nr, g * kx * c)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def subm_conv_xwin(kx: int, feats, kernel, ids, rows, xvalid):
+    """Submanifold conv via the x-window table, scatter-free both ways.
+
+    feats [N, Cin], kernel [K*Cin, Cout], ids = the grid's sorted flat ids,
+    (rows, xvalid) from sparse.neighbor_xwin_info on the SAME grid. Backward
+    uses the tap-mirror identity (see subm_conv): the same gather applied to
+    the cotangent with block-reversed weights.
+    """
+    col = _gather_col_xwin(feats, ids, rows, xvalid, kx)
+    return jnp.dot(col, kernel, preferred_element_type=jnp.float32).astype(feats.dtype)
+
+
+def _sxw_fwd(kx, feats, kernel, ids, rows, xvalid):
+    return subm_conv_xwin(kx, feats, kernel, ids, rows, xvalid), (
+        feats, kernel, ids, rows, xvalid,
+    )
+
+
+def _sxw_bwd(kx, res, g):
+    feats, kernel, ids, rows, xvalid = res
+    n, cin = feats.shape
+    kcin, cout = kernel.shape
+    k = kcin // cin
+    w_rev = jnp.transpose(
+        kernel.reshape(k, cin, cout)[::-1], (0, 2, 1)
+    ).reshape(k * cout, cin)
+    g_col = _gather_col_xwin(g, ids, rows, xvalid, kx)
+    d_feats = jnp.dot(g_col, w_rev, preferred_element_type=jnp.float32).astype(feats.dtype)
+
+    col = _gather_col_xwin(feats, ids, rows, xvalid, kx)
+    d_kernel = jnp.dot(col.T, g, preferred_element_type=jnp.float32).astype(kernel.dtype)
+    return d_feats, d_kernel, None, None, None
+
+
+subm_conv_xwin.defvjp(_sxw_fwd, _sxw_bwd)
+
+
+@jax.custom_vjp
+def strided_conv_xwin(feats, kernel, ids, rows, xvalid, inv_idx):
+    """Strided conv: x-window-table forward gather + inverse-index backward.
+
+    (rows, xvalid) from sparse.neighbor_xwin_info(in_grid, out_coords, ...);
+    inv_idx [N_in, K] from sparse.inverse_from_forward. kx is recovered from
+    xvalid's static shape.
+    """
+    kx = xvalid.shape[1]
+    col = _gather_col_xwin(feats, ids, rows, xvalid, kx)
+    return jnp.dot(col, kernel, preferred_element_type=jnp.float32).astype(feats.dtype)
+
+
+def _stxw_fwd(feats, kernel, ids, rows, xvalid, inv_idx):
+    out = strided_conv_xwin(feats, kernel, ids, rows, xvalid, inv_idx)
+    return out, (feats, kernel, ids, rows, xvalid, inv_idx)
+
+
+def _stxw_bwd(res, g):
+    feats, kernel, ids, rows, xvalid, inv_idx = res
+    kx = xvalid.shape[1]
+    n, cin = feats.shape
+    kcin, cout = kernel.shape
+    k = kcin // cin
+    w_t = jnp.transpose(kernel.reshape(k, cin, cout), (0, 2, 1)).reshape(k * cout, cin)
+    g_col = _gather_col(g, inv_idx)  # [N_in, K*Cout], tap-aligned
+    d_feats = jnp.dot(g_col, w_t, preferred_element_type=jnp.float32).astype(feats.dtype)
+    col = _gather_col_xwin(feats, ids, rows, xvalid, kx)
+    d_kernel = jnp.dot(col.T, g, preferred_element_type=jnp.float32).astype(kernel.dtype)
+    return d_feats, d_kernel, None, None, None, None
+
+
+strided_conv_xwin.defvjp(_stxw_fwd, _stxw_bwd)
+
+
 def strided_conv(feats: jnp.ndarray, kernel: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Non-submanifold (strided) conv: plain gather-matmul with autodiff
     backward (scatter-add). Prefer :func:`strided_conv_t` with an inverse

@@ -61,9 +61,30 @@ def main():
 
     k4, s4, p4 = (1, 3, 3, 3), (1, 1, 1, 1), (0, 1, 1, 1)
     win = sparse.neighbor_window_info(grid, grid.coords, grid.mask, k4, s4, p4)
+    xwin = sparse.neighbor_xwin_info(grid, grid.coords, grid.mask, k4, s4, p4)
+    ids = grid.flat_ids
     idx = sparse.window_info_to_index(win)
     idx.block_until_ready()
     K = idx.shape[1]
+
+    def build_dense(c, fids):
+        g2 = sparse.SparseGrid(
+            fids + (c * 0).astype(jnp.int32), grid.coords, grid.mask,
+            grid.spatial_shape,
+        )
+        i2 = sparse.neighbor_index(g2, g2.coords, g2.mask, k4, s4, p4)
+        return c + i2[0, 0].astype(jnp.float32)
+
+    def build_xwin(c, fids):
+        g2 = sparse.SparseGrid(
+            fids + (c * 0).astype(jnp.int32), grid.coords, grid.mask,
+            grid.spatial_shape,
+        )
+        xw = sparse.neighbor_xwin_info(g2, g2.coords, g2.mask, k4, s4, p4)
+        return c + xw.rows[0, 0].astype(jnp.float32)
+
+    timed("index build: dense (windowed lookup)", build_dense, ids)
+    timed("index build: xwin (rank+delta sort)", build_xwin, ids)
 
     key = jax.random.PRNGKey(0)
     for cin, cout, tag in ((16, 16, "16->16"), (64, 64, "64->64")):
@@ -91,18 +112,27 @@ def main():
                 v, g = jax.value_and_grad(loss)((f + jnp.asarray(c * 1e-30, dt), w))
                 return c + v * 0 + jnp.sum(g[0][0]).astype(jnp.float32)
 
-            def fb_win(c, f, w):
+            def fwd_xwin(c, f, w):
+                o = sc.subm_conv_xwin(
+                    xwin.kx, f + jnp.asarray(c * 1e-30, dt), w, ids,
+                    xwin.rows, xwin.xvalid,
+                )
+                return c + jnp.sum(o[0]).astype(jnp.float32)
+
+            def fb_xwin(c, f, w):
                 def loss(fw):
-                    o = sc.subm_conv_windowed(win.kx, fw[0], fw[1], win.p, win.delta)
+                    o = sc.subm_conv_xwin(
+                        xwin.kx, fw[0], fw[1], ids, xwin.rows, xwin.xvalid
+                    )
                     return jnp.sum(o * o).astype(jnp.float32)
 
                 v, g = jax.value_and_grad(loss)((f + jnp.asarray(c * 1e-30, dt), w))
                 return c + v * 0 + jnp.sum(g[0][0]).astype(jnp.float32)
 
             timed(f"dense fwd     {tag} {dt_name}", fwd_dense, feats, kern)
-            timed(f"windowed fwd  {tag} {dt_name}", fwd_win, feats, kern)
+            timed(f"xwin  fwd     {tag} {dt_name}", fwd_xwin, feats, kern)
             timed(f"dense fwd+bwd {tag} {dt_name}", fb_dense, feats, kern)
-            timed(f"window fwd+bwd{tag} {dt_name}", fb_win, feats, kern)
+            timed(f"xwin  fwd+bwd {tag} {dt_name}", fb_xwin, feats, kern)
 
 
 if __name__ == "__main__":
