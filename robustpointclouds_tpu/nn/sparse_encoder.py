@@ -88,6 +88,10 @@ class SparseConvBlock(nn.Module):
                 )
             else:
                 out = subm_conv_ops.subm_conv(feats, kernel, idx)
+        elif xwin is not None and inv_idx is not None:
+            out = subm_conv_ops.strided_conv_xwin(
+                feats, kernel, ids, xwin.rows, xwin.xvalid, inv_idx
+            )
         elif inv_idx is not None:
             out = subm_conv_ops.strided_conv_t(feats, kernel, idx, inv_idx)
         else:
@@ -152,10 +156,18 @@ class SparseEncoder(nn.Module):
                         g, k4, s4, p4,
                         out_cap=max(int(n_cap * self.stage_cap_factors[i]), 1),
                     )
+                    # x-window form of the forward gather, derived from the
+                    # dense index (no extra sort)
+                    down_xwin = sparse.xwin_from_index(
+                        down_idx, new_g.coords, new_g.mask, k4[-1],
+                        g.flat_ids.shape[0], s4[-1], p4[-1],
+                        g.spatial_shape[-1],
+                    )
                     x = SparseConvBlock(
                         ch, symmetric_taps=False, dtype=self.dtype,
                         name=f"stage{i}_down",
-                    )(x, new_g.mask, train, idx=down_idx, inv_idx=down_inv)
+                    )(x, new_g.mask, train, inv_idx=down_inv,
+                      xwin=down_xwin, ids=g.flat_ids)
                     g = new_g
                     xwin = subm_xwin(g)
                 else:

@@ -810,6 +810,41 @@ def downsample_with_index(
     return out_grid, idx, inv
 
 
+def xwin_from_index(
+    idx: jnp.ndarray,
+    out_coords: jnp.ndarray,
+    out_mask: jnp.ndarray,
+    kx: int,
+    n_in: int,
+    stride_x: int,
+    pad_x: int,
+    w_dim: int,
+) -> XWindowInfo:
+    """Derive an XWindowInfo from an existing dense [N, K] neighbor index.
+
+    The x-window-table gather only needs SOME anchor row inside each group's
+    id window plus its tap offset: if tap t0 is the group's first hit with
+    input row r, then table row r*kx + t0 serves taps t as E[r, t - t0] =
+    feats[id q0 + t] — identical to anchoring at the insertion rank. So no
+    rank sort is needed when a dense index is already available (strided
+    convs get theirs for free from :func:`downsample_with_index`).
+    """
+    n_out, k = idx.shape
+    g = k // kx
+    idx3 = idx.reshape(n_out, g, kx)
+    hit = idx3 < n_in
+    t0 = jnp.argmax(hit, axis=2).astype(jnp.int32)  # first hit (0 if none)
+    any_hit = jnp.any(hit, axis=2)
+    r = jnp.take_along_axis(idx3, t0[:, :, None], axis=2)[:, :, 0]
+    rows = jnp.where(any_hit, r * kx + t0, n_in * kx).astype(jnp.int32)
+
+    lx = (out_coords[:, -1] * stride_x - pad_x)[:, None] + jnp.arange(
+        kx, dtype=jnp.int32
+    )[None, :]
+    xvalid = out_mask[:, None] & (lx >= 0) & (lx < w_dim)
+    return XWindowInfo(rows, xvalid, kx, n_in)
+
+
 def scatter_to_dense(features: jnp.ndarray, grid: SparseGrid) -> jnp.ndarray:
     """Scatter sparse features into a dense [*spatial_shape, C] grid."""
     shape = grid.spatial_shape

@@ -211,6 +211,38 @@ def test_downsample_with_index_cap_truncation():
     np.testing.assert_array_equal(np.asarray(inv2), np.asarray(inv))
 
 
+@pytest.mark.parametrize("shape", [(2, 6, 10, 12), (2, 5, 9, 2)])
+def test_xwin_from_index_matches_dense(shape):
+    """Strided forward via the dense-index-derived xwin == dense gather conv
+    (incl. the tiny-W multi-wrap regime)."""
+    rng = np.random.RandomState(21)
+    g = random_grid(rng, shape=shape, n=90, cap=128)
+    k, s, p = DOWN
+    og, idx, inv = sparse.downsample_with_index(g, k, s, p, out_cap=128)
+    xwin = sparse.xwin_from_index(
+        idx, og.coords, og.mask, k[-1], g.mask.shape[0], s[-1], p[-1], shape[-1]
+    )
+    n, cin, cout = g.mask.shape[0], 8, 16
+    feats = jnp.where(
+        g.mask[:, None], jnp.asarray(rng.randn(n, cin).astype(np.float32)), 0.0
+    )
+    kernel = jnp.asarray(rng.randn(27 * cin, cout).astype(np.float32) * 0.1)
+    ref = sc.strided_conv(feats, kernel, idx)
+    out = sc.strided_conv_xwin(feats, kernel, g.flat_ids, xwin.rows, xwin.xvalid, inv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    gr = jax.grad(lambda f, w: jnp.sum(jnp.cos(sc.strided_conv(f, w, idx))),
+                  argnums=(0, 1))(feats, kernel)
+    gw = jax.grad(
+        lambda f, w: jnp.sum(jnp.cos(
+            sc.strided_conv_xwin(f, w, g.flat_ids, xwin.rows, xwin.xvalid, inv)
+        )),
+        argnums=(0, 1),
+    )(feats, kernel)
+    np.testing.assert_allclose(np.asarray(gw[0]), np.asarray(gr[0]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw[1]), np.asarray(gr[1]), rtol=1e-4, atol=1e-4)
+
+
 def test_rank_and_succ_delta():
     ids = jnp.asarray(np.array([3, 5, 6, 9, sparse.INT32_MAX], np.int32))
     q = jnp.asarray(np.array([0, 3, 4, 6, 7, 9, 10, sparse.INT32_MAX], np.int32))
