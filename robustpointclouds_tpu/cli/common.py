@@ -92,6 +92,38 @@ def synthetic_loader(
     return epoch_iter
 
 
+def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
+    """Run an iterator in a background thread with a small bounded queue.
+
+    JAX dispatch is async, but the HOST work of producing the next batch
+    (file IO, augmentation, padding, h2d feed) would otherwise serialize with
+    enqueueing the next step. The reference gets this from torch DataLoader
+    workers (num_workers=4); a single thread + queue(depth) is enough here
+    because the heavy per-sample work already happens in the native threaded
+    loader (data/native.py).
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+
+
 def run_training(
     trainer: Trainer,
     epoch_loader: Callable[[int], Iterator[PointCloudBatch]],
@@ -155,7 +187,7 @@ def run_training(
     for epoch in range(start_epoch, max_epochs):
         epoch_t0 = time.time()
         n_frames = 0
-        for i, batch in enumerate(epoch_loader(epoch)):
+        for i, batch in enumerate(prefetch_iterator(epoch_loader(epoch))):
             if shard is not None:
                 batch = shard(batch)
             # device-level trace of steps 10-13 of the first epoch (the

@@ -205,7 +205,9 @@ def main():
     for epoch in range(max_epochs):
         state = trainer.update_dynamic_scaling(state, epoch)
         state = trainer.reset_momentum(state)  # reference resets between epochs
-        for i, batch in enumerate(batches(epoch)):
+        from .common import prefetch_iterator
+
+        for i, batch in enumerate(prefetch_iterator(batches(epoch))):
             state, logs = trainer.train_step(state, batch)
             if (i + 1) % 10 == 0 or i == 0:
                 monitor.record(epoch, i, logs)
