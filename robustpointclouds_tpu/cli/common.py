@@ -248,7 +248,11 @@ def run_evaluation(
     """
     # StrongTrainer wraps the base detector config under .base
     cfg = getattr(trainer.model_cfg, "base", trainer.model_cfg)
-    metric = KittiMetric(classes=tuple(cfg.class_names), metrics=("3d", "bev"))
+    # 2d/aos compute only when the loader supplies image-plane metas (calib,
+    # GT 2D boxes); synthetic/LiDAR-only runs degrade to 3d/bev
+    metric = KittiMetric(
+        classes=tuple(cfg.class_names), metrics=("3d", "bev", "2d", "aos")
+    )
     head = cfg.head
     predict = jax.jit(
         lambda cls, box, d: anchor_head_predict(cls, box, d, trainer.anchors, head)
@@ -278,6 +282,7 @@ def run_evaluation(
                 dt_labels=np.asarray(labels[b]),
                 dt_mask=np.asarray(mask[b]),
                 gt_difficulty=meta.get("gt_difficulty"),
+                meta=meta,
             )
             n += 1
     results = metric.compute()

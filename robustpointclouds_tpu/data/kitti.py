@@ -74,8 +74,13 @@ def _difficulty(bbox_h: float, occluded: int, truncated: float) -> int:
 
 
 def read_label(path: str, calib: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Parse label_2 txt -> lidar-frame boxes + labels + difficulty."""
-    names, boxes, difficulty = [], [], []
+    """Parse label_2 txt -> lidar-frame boxes + labels + difficulty.
+
+    Also returns per-GT image-plane data the full KITTI protocol needs
+    (devkit 2D/AOS metrics + DontCare handling): `bbox2d` [N, 4], `alpha` [N]
+    (observation angle straight from the label file), and `dontcare` [D, 4]
+    image regions."""
+    names, boxes, difficulty, bbox2d, alphas, dontcare = [], [], [], [], [], []
     R0 = calib.get("R0", np.eye(3))
     Tr = calib.get("Tr_velo_to_cam")
     if Tr is None:
@@ -92,10 +97,12 @@ def read_label(path: str, calib: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]
             if len(parts) < 15:
                 continue
             name = parts[0]
+            bbox = [float(v) for v in parts[4:8]]
             if name == "DontCare":
+                dontcare.append(bbox)
                 continue
             truncated, occluded = float(parts[1]), int(float(parts[2]))
-            bbox = [float(v) for v in parts[4:8]]
+            alpha = float(parts[3])
             h, w, l = (float(v) for v in parts[8:11])
             loc_cam = np.asarray([float(v) for v in parts[11:14]] + [1.0])
             rot_y = float(parts[14])
@@ -105,10 +112,15 @@ def read_label(path: str, calib: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]
             names.append(name)
             boxes.append([loc_velo[0], loc_velo[1], z_center, l, w, h, yaw])
             difficulty.append(_difficulty(bbox[3] - bbox[1], occluded, truncated))
+            bbox2d.append(bbox)
+            alphas.append(alpha)
     return {
         "name": np.asarray(names),
         "boxes_3d": np.asarray(boxes, np.float32).reshape(-1, 7),
         "difficulty": np.asarray(difficulty, np.int32),
+        "bbox2d": np.asarray(bbox2d, np.float32).reshape(-1, 4),
+        "alpha": np.asarray(alphas, np.float32),
+        "dontcare": np.asarray(dontcare, np.float32).reshape(-1, 4),
     }
 
 
@@ -159,6 +171,10 @@ class KittiDataset:
             "gt_boxes": anno["boxes_3d"][keep],
             "gt_labels": labels,
             "gt_difficulty": anno["difficulty"][keep],
+            "gt_bbox2d": anno["bbox2d"][keep],
+            "gt_alpha": anno["alpha"][keep],
+            "dontcare": anno["dontcare"],
+            "calib": calib,
             "raw_anno": anno,
         }
 
@@ -344,11 +360,21 @@ def kitti_val_loader(
         metas = []
         for b_i, s in enumerate(samples):
             diff = np.zeros(max_gt, np.int32)
+            bb2 = np.zeros((max_gt, 4), np.float32)
+            alp = np.zeros(max_gt, np.float32)
             g = min(len(s.get("gt_difficulty", [])), max_gt)
             if g:
                 diff[:g] = s["gt_difficulty"][:g]
+            g2 = min(len(s.get("gt_bbox2d", [])), max_gt)
+            if g2:
+                bb2[:g2] = s["gt_bbox2d"][:g2]
+                alp[:g2] = s["gt_alpha"][:g2]
             metas.append({
                 "gt_difficulty": diff,
+                "gt_bbox2d": bb2,
+                "gt_alpha": alp,
+                "dontcare": s.get("dontcare", np.zeros((0, 4), np.float32)),
+                "calib": s.get("calib"),
                 "valid": b_i < n_real,
                 "frame_id": s.get("frame_id", ""),
             })

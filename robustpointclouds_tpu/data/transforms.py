@@ -134,8 +134,9 @@ def filter_range(sample: Dict, pcr: Sequence[float]) -> Dict:
         )
         out["gt_boxes"] = boxes[bm]
         out["gt_labels"] = sample["gt_labels"][bm]
-        if "gt_difficulty" in sample:
-            out["gt_difficulty"] = sample["gt_difficulty"][bm]
+        for k in ("gt_difficulty", "gt_bbox2d", "gt_alpha"):
+            if k in sample and len(sample[k]) == len(bm):
+                out[k] = sample[k][bm]
     return out
 
 

@@ -13,11 +13,21 @@ Protocol (official KITTI object devkit, 40 recall points):
   * score thresholds sampled from matched-detection scores at 40 recall
     positions; precision = max precision at recall >= r, averaged.
 
-Current deviations from the full devkit (tracked for parity work): DontCare
-regions and the image-plane 2D/AOS metrics are not implemented (the rebuild is
-LiDAR-only end to end); difficulty comes from the annotation's difficulty
-field (the readers compute it from truncation/occlusion/bbox height when
-available).
+Image-plane protocol pieces (when calib + GT 2D boxes are supplied, e.g. by
+data/kitti.kitti_val_loader metas):
+  * '2d' metric — AP over image-plane boxes; detections are the 3D boxes
+    projected through P2 @ R0 @ Tr_velo_to_cam (devkit result-file bbox).
+  * 'aos' metric — 2D matching where true positives score orientation
+    similarity (1 + cos(alpha_gt - alpha_dt)) / 2.
+  * DontCare regions — unassigned detections whose intersection-over-
+    detection-area with any DontCare box exceeds the class threshold are not
+    false positives.
+  * minimum-height detection filter — detections whose projected 2D height is
+    below the difficulty's minimum GT height (40/25/25 px) are ignored
+    (neither matchable nor FPs), mirroring the devkit's ignored-detection
+    rule.
+Without calib, those pieces degrade gracefully: 3d/bev APs are computed
+LiDAR-only and 2d/aos report nothing.
 """
 from __future__ import annotations
 
@@ -34,6 +44,97 @@ _IGNORED_NEIGHBORS = {
 
 _DEFAULT_IOU_THR = {"Car": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5}
 _N_SAMPLE_PTS = 41
+_MIN_HEIGHT = (40.0, 25.0, 25.0)  # devkit min GT/detection 2D height per difficulty
+
+
+def project_boxes_to_image(boxes: np.ndarray, calib: Dict) -> np.ndarray:
+    """Lidar-frame [N, 7] boxes -> image-plane [N, 4] (x1, y1, x2, y2) via
+    P2 @ R0 @ Tr_velo_to_cam over the 8 box corners (the devkit result-file
+    bbox for a 3D detection). Boxes fully behind the camera collapse to an
+    empty (0-area) bbox."""
+    if len(boxes) == 0:
+        return np.zeros((0, 4), np.float32)
+    b = np.asarray(boxes, np.float64)
+    cx, cy, cz = b[:, 0], b[:, 1], b[:, 2]
+    dx, dy, dz = b[:, 3], b[:, 4], b[:, 5]
+    yaw = b[:, 6]
+    # 8 corners in the box frame
+    sx = np.array([1, 1, 1, 1, -1, -1, -1, -1]) * 0.5
+    sy = np.array([1, 1, -1, -1, 1, 1, -1, -1]) * 0.5
+    sz = np.array([1, -1, 1, -1, 1, -1, 1, -1]) * 0.5
+    cxr, sxr = np.cos(yaw)[:, None], np.sin(yaw)[:, None]
+    lx = dx[:, None] * sx[None, :]
+    ly = dy[:, None] * sy[None, :]
+    lz = dz[:, None] * sz[None, :]
+    wx = cx[:, None] + cxr * lx - sxr * ly
+    wy = cy[:, None] + sxr * lx + cxr * ly
+    wz = cz[:, None] + lz
+    pts = np.stack([wx, wy, wz, np.ones_like(wx)], axis=-1)  # [N, 8, 4]
+    Tr4 = np.eye(4)
+    Tr4[:3] = calib["Tr_velo_to_cam"]
+    R04 = np.eye(4)
+    R04[:3, :3] = calib.get("R0", np.eye(3))
+    cam = pts @ (R04 @ Tr4).T  # [N, 8, 4]
+    # clip to a small positive depth so behind-camera corners don't explode
+    depth = np.maximum(cam[:, :, 2], 1e-3)
+    img = cam @ calib["P2"].T  # [N, 8, 3]
+    u = img[:, :, 0] / depth
+    v = img[:, :, 1] / depth
+    in_front = cam[:, :, 2] > 1e-3
+    any_front = np.any(in_front, axis=1)
+    u = np.where(in_front, u, np.nan)
+    v = np.where(in_front, v, np.nan)
+    with np.errstate(all="ignore"):
+        out = np.stack(
+            [np.nanmin(u, 1), np.nanmin(v, 1), np.nanmax(u, 1), np.nanmax(v, 1)],
+            axis=1,
+        )
+    out = np.where(any_front[:, None], out, 0.0)
+    return np.nan_to_num(out).astype(np.float32)
+
+
+def detection_alphas(boxes: np.ndarray, calib: Dict) -> np.ndarray:
+    """Observation angle per detection: alpha = rot_y - atan2(x_cam, z_cam)
+    with rot_y = -(yaw + pi/2) (inverse of the reader's label conversion)."""
+    if len(boxes) == 0:
+        return np.zeros((0,), np.float32)
+    b = np.asarray(boxes, np.float64)
+    Tr4 = np.eye(4)
+    Tr4[:3] = calib["Tr_velo_to_cam"]
+    R04 = np.eye(4)
+    R04[:3, :3] = calib.get("R0", np.eye(3))
+    center = np.concatenate([b[:, :3], np.ones((len(b), 1))], axis=1)
+    cam = center @ (R04 @ Tr4).T
+    rot_y = -(b[:, 6] + np.pi / 2.0)
+    alpha = rot_y - np.arctan2(cam[:, 0], np.maximum(cam[:, 2], 1e-3))
+    return alpha.astype(np.float32)
+
+
+def box2d_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Axis-aligned 2D IoU matrix [n_a, n_b]."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float32)
+    a = np.asarray(a, np.float64)[:, None, :]
+    b = np.asarray(b, np.float64)[None, :, :]
+    iw = np.maximum(np.minimum(a[..., 2], b[..., 2]) - np.maximum(a[..., 0], b[..., 0]), 0)
+    ih = np.maximum(np.minimum(a[..., 3], b[..., 3]) - np.maximum(a[..., 1], b[..., 1]), 0)
+    inter = iw * ih
+    area_a = (a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1])
+    area_b = (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+    return (inter / np.maximum(area_a + area_b - inter, 1e-9)).astype(np.float32)
+
+
+def box2d_ioa(det: np.ndarray, dc: np.ndarray) -> np.ndarray:
+    """Intersection over DETECTION area [n_det, n_dc] (devkit DontCare rule)."""
+    if len(det) == 0 or len(dc) == 0:
+        return np.zeros((len(det), len(dc)), np.float32)
+    a = np.asarray(det, np.float64)[:, None, :]
+    b = np.asarray(dc, np.float64)[None, :, :]
+    iw = np.maximum(np.minimum(a[..., 2], b[..., 2]) - np.maximum(a[..., 0], b[..., 0]), 0)
+    ih = np.maximum(np.minimum(a[..., 3], b[..., 3]) - np.maximum(a[..., 1], b[..., 1]), 0)
+    inter = iw * ih
+    area = np.maximum((a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1]), 1e-9)
+    return (inter / area).astype(np.float32)
 
 
 def _rotated_iou(dt_boxes: np.ndarray, gt_boxes: np.ndarray, metric: str) -> np.ndarray:
@@ -81,28 +182,55 @@ def _compute_statistics(
     min_overlap: float,
     thresh: float,
     compute_fp: bool,
+    dc_ioa: Optional[np.ndarray] = None,
+    sim: Optional[np.ndarray] = None,
 ):
-    """One image, one threshold: greedy max-IoU matching per the devkit."""
+    """One image, one threshold: devkit/mmdet3d matching semantics.
+
+    dt_valid == False marks IGNORED detections (projected 2D height below the
+    difficulty's minimum): they may still absorb a counted GT (assigned, no
+    TP and no FN — the devkit's ignored-detection fallback), and are never
+    FPs. In the threshold-collection pass (compute_fp=False) the devkit picks
+    the highest-SCORE detection above min_overlap; in the PR pass it picks
+    the highest-OVERLAP one. dc_ioa [n_dt]: max intersection-over-detection-
+    area vs DontCare regions; unassigned detections above min_overlap there
+    are not FPs (mmdet3d applies this to the image-plane metric only).
+    sim [n_dt, n_gt]: orientation similarity — matched TPs accumulate it.
+    """
     n_dt, n_gt = iou.shape
     assigned = np.zeros(n_dt, bool)
     ignored_det = np.zeros(n_dt, bool)
     tp = fp = fn = 0
+    sim_sum = 0.0
     thresholds = []
     for j in range(n_gt):
         if gt_care[j] != 0:
             continue
         det_idx = -1
-        max_iou = min_overlap
+        found_valid = False
+        best = min_overlap if compute_fp else -np.inf  # overlap vs score race
         for i in range(n_dt):
-            if not dt_valid[i] or assigned[i] or dt_scores[i] < thresh:
+            if assigned[i] or dt_scores[i] < thresh:
                 continue
-            if iou[i, j] > max_iou:
-                max_iou = iou[i, j]
-                det_idx = i
-        if det_idx >= 0:
+            o = iou[i, j]
+            if o <= min_overlap:
+                continue
+            if dt_valid[i]:
+                crit = o if compute_fp else dt_scores[i]
+                if not found_valid or crit > best:
+                    best = crit
+                    det_idx = i
+                    found_valid = True
+            elif compute_fp and not found_valid and det_idx < 0:
+                det_idx = i  # ignored-det fallback: absorbs the GT
+        if found_valid:
             tp += 1
             assigned[det_idx] = True
             thresholds.append(dt_scores[det_idx])
+            if sim is not None:
+                sim_sum += float(sim[det_idx, j])
+        elif det_idx >= 0:
+            assigned[det_idx] = True  # matched by ignored det: no TP, no FN
         else:
             fn += 1
     if compute_fp:
@@ -114,8 +242,11 @@ def _compute_statistics(
                 if gt_care[j] == 1 and iou[i, j] > min_overlap:
                     ignored_det[i] = True
                     break
-        fp = int(np.sum(dt_valid & ~assigned & ~ignored_det & (dt_scores >= thresh)))
-    return tp, fp, fn, thresholds
+        fp_mask = dt_valid & ~assigned & ~ignored_det & (dt_scores >= thresh)
+        if dc_ioa is not None and len(dc_ioa) == n_dt:
+            fp_mask = fp_mask & ~(dc_ioa > min_overlap)
+        fp = int(np.sum(fp_mask))
+    return tp, fp, fn, thresholds, sim_sum
 
 
 def eval_kitti_ap(
@@ -138,6 +269,7 @@ def eval_kitti_ap(
     """
     assert len(gt_annos) == len(dt_annos)
     iou_thresholds = iou_thresholds or _DEFAULT_IOU_THR
+    image_plane = metric in ("2d", "aos")
     results: Dict[str, float] = {}
 
     # cache IoU matrices (shared across difficulties/thresholds)
@@ -146,17 +278,58 @@ def eval_kitti_ap(
         per_image = []
         for gt, dt in zip(gt_annos, dt_annos):
             dt_sel = np.asarray(dt["name"]) == cls if len(dt["name"]) else np.zeros(0, bool)
-            dt_boxes = np.asarray(dt["boxes_3d"], np.float32).reshape(-1, 7)[dt_sel]
             dt_scores = np.asarray(dt["score"], np.float32)[dt_sel]
-            gt_boxes = np.asarray(gt["boxes_3d"], np.float32).reshape(-1, 7)
-            iou = _rotated_iou(dt_boxes, gt_boxes, metric)
-            per_image.append((iou, dt_scores, gt, np.ones(len(dt_scores), bool)))
+            n_dt = len(dt_scores)
+            dt_bb2 = (
+                np.asarray(dt["bbox2d"], np.float32).reshape(-1, 4)[dt_sel]
+                if "bbox2d" in dt and len(dt["bbox2d"]) == len(dt_sel)
+                else None
+            )
+            if image_plane:
+                if dt_bb2 is None or "bbox2d" not in gt:
+                    per_image.append(None)
+                    continue
+                gt_bb2 = np.asarray(gt["bbox2d"], np.float32).reshape(-1, 4)
+                iou = box2d_iou(dt_bb2, gt_bb2)
+            else:
+                dt_boxes = np.asarray(dt["boxes_3d"], np.float32).reshape(-1, 7)[dt_sel]
+                gt_boxes = np.asarray(gt["boxes_3d"], np.float32).reshape(-1, 7)
+                iou = _rotated_iou(dt_boxes, gt_boxes, metric)
+            dc = np.asarray(
+                gt.get("dontcare", np.zeros((0, 4), np.float32)), np.float32
+            ).reshape(-1, 4)
+            # mmdet3d applies DontCare suppression to the image-plane metric
+            # only (kitti_eval computes dt-vs-dc overlaps just for metric 0)
+            dc_ioa = (
+                np.max(box2d_ioa(dt_bb2, dc), axis=1)
+                if image_plane and dt_bb2 is not None and len(dc)
+                else None
+            )
+            dt_h = dt_bb2[:, 3] - dt_bb2[:, 1] if dt_bb2 is not None else None
+            sim = None
+            if metric == "aos" and "alpha" in dt and "alpha" in gt:
+                da = (
+                    np.asarray(gt["alpha"], np.float32)[None, :]
+                    - np.asarray(dt["alpha"], np.float32)[dt_sel][:, None]
+                )
+                sim = (1.0 + np.cos(da)) / 2.0
+            per_image.append((iou, dt_scores, gt, dt_h, dc_ioa, sim))
 
         for diff in difficulties:
-            gt_cares = [_clean_gt(gt, cls, diff) for (_, _, gt, _) in per_image]
-            total_gt = sum(int(np.sum(c == 0)) for c in gt_cares)
             diff_name = ("easy", "moderate", "hard")[diff]
             key = f"{cls}_{metric}_{diff_name}"
+            usable = [e for e in per_image if e is not None]
+            if image_plane and not usable:
+                continue  # no image-plane data supplied; metric unavailable
+            gt_cares = [_clean_gt(e[2], cls, diff) for e in usable]
+            # detections below the difficulty's min projected height are
+            # ignored (devkit rule); without 2D data all count
+            dt_valids = [
+                (e[3] >= _MIN_HEIGHT[diff]) if e[3] is not None
+                else np.ones(len(e[1]), bool)
+                for e in usable
+            ]
+            total_gt = sum(int(np.sum(c == 0)) for c in gt_cares)
             if total_gt == 0:
                 results[key] = 0.0
                 continue
@@ -168,9 +341,9 @@ def eval_kitti_ap(
             # recall cursor — identical in the large-sample limit, but exact
             # here for small fixture sets too.)
             all_scores: List[float] = []
-            for (iou, scores, _, valid), care in zip(per_image, gt_cares):
-                _, _, _, ts = _compute_statistics(
-                    iou, scores, care, valid, min_overlap, -np.inf, False
+            for e, care, valid in zip(usable, gt_cares, dt_valids):
+                _, _, _, ts, _ = _compute_statistics(
+                    e[0], e[1], care, valid, min_overlap, -np.inf, False
                 )
                 all_scores.extend(ts)
             all_scores = np.sort(np.asarray(all_scores))[::-1]
@@ -191,14 +364,18 @@ def eval_kitti_ap(
                     continue
                 if t not in prec_cache:
                     tp = fp = fn = 0
-                    for (iou, scores, _, valid), care in zip(per_image, gt_cares):
-                        tpi, fpi, fni, _ = _compute_statistics(
-                            iou, scores, care, valid, min_overlap, t, True
+                    sim_total = 0.0
+                    for e, care, valid in zip(usable, gt_cares, dt_valids):
+                        tpi, fpi, fni, _, simi = _compute_statistics(
+                            e[0], e[1], care, valid, min_overlap, t, True,
+                            dc_ioa=e[4], sim=e[5],
                         )
                         tp += tpi
                         fp += fpi
                         fn += fni
-                    prec_cache[t] = tp / max(tp + fp, 1)
+                        sim_total += simi
+                    num = sim_total if metric == "aos" else float(tp)
+                    prec_cache[t] = num / max(tp + fp, 1)
                 precisions[i] = prec_cache[t]
             # right-max smoothing
             for i in range(_N_SAMPLE_PTS - 2, -1, -1):
@@ -215,7 +392,7 @@ class KittiMetric:
     def __init__(
         self,
         classes: Sequence[str] = ("Car", "Pedestrian", "Cyclist"),
-        metrics: Sequence[str] = ("3d", "bev"),
+        metrics: Sequence[str] = ("3d", "bev", "2d", "aos"),
     ):
         self.classes = list(classes)
         self.metrics = list(metrics)
@@ -236,27 +413,47 @@ class KittiMetric:
         dt_labels: np.ndarray,
         dt_mask: np.ndarray,
         gt_difficulty: Optional[np.ndarray] = None,
+        meta: Optional[Dict] = None,
     ):
-        """Convenience adapter from the framework's padded batch arrays."""
+        """Convenience adapter from the framework's padded batch arrays.
+
+        `meta` (from data/kitti.kitti_val_loader) may carry the image-plane
+        protocol inputs: `gt_bbox2d` [max_gt, 4], `gt_alpha` [max_gt],
+        `dontcare` [D, 4], and `calib` (P2/R0/Tr_velo_to_cam) — detections are
+        projected through it for the 2d/aos metrics and DontCare handling."""
         gm = np.asarray(gt_mask, bool)
         dm = np.asarray(dt_mask, bool)
         names = np.asarray(self.classes)
-        self.update(
-            {
-                "name": names[np.asarray(gt_labels)[gm]],
-                "boxes_3d": np.asarray(gt_boxes)[gm],
-                "difficulty": (
-                    np.asarray(gt_difficulty)[gm]
-                    if gt_difficulty is not None
-                    else np.zeros(int(gm.sum()), np.int32)
-                ),
-            },
-            {
-                "name": names[np.asarray(dt_labels)[dm]],
-                "boxes_3d": np.asarray(dt_boxes)[dm],
-                "score": np.asarray(dt_scores)[dm],
-            },
-        )
+        gt_anno = {
+            "name": names[np.asarray(gt_labels)[gm]],
+            "boxes_3d": np.asarray(gt_boxes)[gm],
+            "difficulty": (
+                np.asarray(gt_difficulty)[gm]
+                if gt_difficulty is not None
+                else np.zeros(int(gm.sum()), np.int32)
+            ),
+        }
+        dt_anno = {
+            "name": names[np.asarray(dt_labels)[dm]],
+            "boxes_3d": np.asarray(dt_boxes)[dm],
+            "score": np.asarray(dt_scores)[dm],
+        }
+        meta = meta or {}
+        if meta.get("gt_bbox2d") is not None:
+            bb2 = np.asarray(meta["gt_bbox2d"], np.float32)
+            if len(bb2) == len(gm):
+                gt_anno["bbox2d"] = bb2[gm]
+        if meta.get("gt_alpha") is not None:
+            alp = np.asarray(meta["gt_alpha"], np.float32)
+            if len(alp) == len(gm):
+                gt_anno["alpha"] = alp[gm]
+        if meta.get("dontcare") is not None:
+            gt_anno["dontcare"] = np.asarray(meta["dontcare"], np.float32).reshape(-1, 4)
+        calib = meta.get("calib")
+        if calib is not None and "P2" in calib and "Tr_velo_to_cam" in calib:
+            dt_anno["bbox2d"] = project_boxes_to_image(dt_anno["boxes_3d"], calib)
+            dt_anno["alpha"] = detection_alphas(dt_anno["boxes_3d"], calib)
+        self.update(gt_anno, dt_anno)
 
     def compute(self) -> Dict[str, float]:
         out: Dict[str, float] = {}
