@@ -56,6 +56,10 @@ class CenterPointConfig(NamedTuple):
     regularization_weight: float = 0.005
     adversary_start_epoch: int = 3
     compute_dtype: str = "bfloat16"  # see VoxelNetConfig.compute_dtype
+    # reference base config is head-dcn-circlenms; the DCN separate head
+    # (nn/deform_conv.py) is selectable for checkpoint parity, plain conv
+    # stays the TPU-fast default
+    use_dcn_head: bool = False
 
     @property
     def bev_feature_size(self) -> Tuple[int, int]:
@@ -82,7 +86,9 @@ class AdversarialCenterPoint(nn.Module):
         )
         self.pts_backbone = SECONDBackbone(dtype=dt)
         self.pts_neck = SECONDFPN(dtype=dt)
-        self.pts_bbox_head = CenterHead(tasks=self.cfg.tasks)
+        self.pts_bbox_head = CenterHead(
+            tasks=self.cfg.tasks, use_dcn=self.cfg.use_dcn_head
+        )
         if self.cfg.adversary is not None:
             self.adversary = VoxelPerturber(
                 num_features=self.cfg.num_point_features,

@@ -4,10 +4,16 @@ Equivalent of mmdet3d's `CenterHead` as configured by the reference's
 NuScenes pipeline (configs/adversarial/adversarial-centerpoint_voxel-nuscenes.py:11-13
 inherits centerpoint_voxel01_second_secfpn_head-dcn-circlenms): a shared conv
 trunk, then per-task branches predicting a class heatmap plus common
-regression maps reg(2) / height(1) / dim(3) / rot(2) / vel(2). The reference
-checkpoint's DCN in the shared conv is replaced by a plain conv stack — a
-deliberate TPU-first substitution (SURVEY.md §2b 'CenterPoint pipeline');
-decode is dense-heatmap top-k + circle NMS in ops/, all static-shape XLA.
+regression maps reg(2) / height(1) / dim(3) / rot(2) / vel(2). Decode is
+dense-heatmap top-k + circle NMS in ops/, all static-shape XLA.
+
+Two separate-head variants, selected by `use_dcn`:
+  * plain `SeparateHead` conv stacks (default — fastest on TPU);
+  * `DCNSeparateHead` parity with the reference base config: a deformable
+    feature-adaptation conv (nn/deform_conv.py, gather-based XLA DCN) in
+    front of the classification and regression branches. Grouped DCN
+    (groups=4 in the mmdet3d config) is realized as a full-channel DCN —
+    a strict superset parameterization, noted for checkpoint conversion.
 """
 from __future__ import annotations
 
@@ -51,12 +57,29 @@ class _SeparateHead(nn.Module):
         )(x)
 
 
+class _DCNAdapt(nn.Module):
+    """Deformable feature adaptation: DCN 3x3 -> BN -> ReLU (mmdet3d
+    DCNSeparateHead's feature_adapt_{cls,reg})."""
+
+    channels: int = 64
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        from .deform_conv import DeformConv2d
+
+        x = DeformConv2d(self.channels, name="dcn")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-3, name="bn")(x)
+        return nn.relu(x)
+
+
 class CenterHead(nn.Module):
     """Returns per-task dicts of dense prediction maps."""
 
     tasks: Tuple[Tuple[str, ...], ...] = NUSCENES_TASKS
     share_conv_channels: int = 64
     common_heads: Tuple[Tuple[str, int], ...] = COMMON_HEADS
+    use_dcn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> Tuple[Dict[str, jnp.ndarray], ...]:
@@ -69,13 +92,20 @@ class CenterHead(nn.Module):
         x = nn.relu(x)
         outs = []
         for t, classes in enumerate(self.tasks):
+            if self.use_dcn:
+                x_cls = _DCNAdapt(self.share_conv_channels,
+                                  name=f"task{t}_adapt_cls")(x, train)
+                x_reg = _DCNAdapt(self.share_conv_channels,
+                                  name=f"task{t}_adapt_reg")(x, train)
+            else:
+                x_cls = x_reg = x
             task_out = {}
             task_out["heatmap"] = _SeparateHead(
                 len(classes), bias_init=-4.595, name=f"task{t}_heatmap"
-            )(x, train)
+            )(x_cls, train)
             for head_name, dim in self.common_heads:
                 task_out[head_name] = _SeparateHead(
                     dim, name=f"task{t}_{head_name}"
-                )(x, train)
+                )(x_reg, train)
             outs.append(task_out)
         return tuple(outs)
