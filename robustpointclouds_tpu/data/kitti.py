@@ -268,9 +268,20 @@ def kitti_epoch_loader(
     ds = KittiDataset(data_root, split="train")
     pcr = model_cfg.voxelizer.point_cloud_range
     native_ok = use_native and native.native_available()
-    gt_db = T.GroundTruthDatabase(sample_groups=sample_groups) if (
-        augment and gt_paste
-    ) else None
+    gt_db = None
+    if augment and gt_paste:
+        # pre-seed from mmdet3d's offline dbinfos when present (the
+        # reference's db_sampler info_path); on-the-fly collection continues
+        dbinfos = os.path.join(data_root, "kitti_dbinfos_train.pkl")
+        if os.path.isfile(dbinfos):
+            gt_db = T.GroundTruthDatabase.from_dbinfos(
+                dbinfos, data_root, classes=tuple(ds.classes),
+                sample_groups=sample_groups,
+            )
+            n_seed = sum(len(v) for v in gt_db._db.values())
+            print(f"[gt-paste] seeded {n_seed} crops from {dbinfos}")
+        else:
+            gt_db = T.GroundTruthDatabase(sample_groups=sample_groups)
 
     def epoch_iter(epoch: int):
         rng = np.random.RandomState(seed * 131 + epoch)

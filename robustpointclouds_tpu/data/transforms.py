@@ -11,6 +11,7 @@ Samples are plain dicts: {'points' [N,4], 'gt_boxes' [G,7], 'gt_labels' [G], ...
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -165,6 +166,53 @@ class GroundTruthDatabase:
         self.min_points = min_points
         self.max_per_class = max_per_class
         self._db: Dict[int, List] = {c: [] for c in self.sample_groups}
+
+    @classmethod
+    def from_dbinfos(
+        cls,
+        path: str,
+        data_root: str,
+        classes: Sequence[str] = ("Car", "Pedestrian", "Cyclist"),
+        sample_groups: Optional[Dict[int, int]] = None,
+        min_points: int = 5,
+        max_per_class: int = 2000,
+    ) -> "GroundTruthDatabase":
+        """Pre-seed the database from an mmdet3d `kitti_dbinfos_train.pkl`
+        (the reference's offline db_sampler input,
+        configs/_base_/kitti-3d-car.py:27-33: `info_path=...kitti_dbinfos_
+        train.pkl`, `filter_by_min_points`).
+
+        dbinfos crops store points RELATIVE to the box bottom-center and
+        boxes in mmdet3d's bottom-z convention; both are converted to this
+        framework's absolute-points / center-z layout on load. On-the-fly
+        collection stays active on top.
+        """
+        import pickle
+
+        db = cls(sample_groups=sample_groups, min_points=min_points,
+                 max_per_class=max_per_class)
+        with open(path, "rb") as f:
+            infos = pickle.load(f)
+        cls_to_id = {c: i for i, c in enumerate(classes)}
+        for name, entries in infos.items():
+            label = cls_to_id.get(name)
+            if label is None or label not in db._db:
+                continue
+            for info in entries:
+                if len(db._db[label]) >= max_per_class:
+                    break
+                if int(info.get("num_points_in_gt", min_points)) < min_points:
+                    continue
+                box = np.asarray(info["box3d_lidar"], np.float32).copy()
+                bin_path = os.path.join(data_root, info["path"])
+                if not os.path.isfile(bin_path):
+                    continue
+                pts = np.fromfile(bin_path, np.float32).reshape(-1, 4).copy()
+                pts[:, :3] += box[:3]  # crop coords are box-relative
+                box[2] += box[5] / 2.0  # bottom z -> center z
+                if len(pts) >= min_points:
+                    db._db[label].append((box, pts))
+        return db
 
     def collect(self, sample: Dict):
         for box, label in zip(sample["gt_boxes"], sample["gt_labels"]):

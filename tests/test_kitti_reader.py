@@ -222,3 +222,56 @@ class TestGTPaste:
             for b in loader(epoch):
                 counts.append(int(np.asarray(b.gt_mask).sum()))
         assert max(counts[1:]) > 1, counts
+
+
+def test_dbinfos_preseed(tmp_path):
+    """from_dbinfos: mmdet3d dbinfos pickle (box-relative crops, bottom-z
+    boxes) loads into the framework's absolute/center-z database layout."""
+    import pickle
+
+    from robustpointclouds_tpu.data.transforms import GroundTruthDatabase
+
+    crops = tmp_path / "kitti_gt_database"
+    crops.mkdir()
+    # one Car crop: 8 points around the box bottom-center
+    pts = np.zeros((8, 4), np.float32)
+    pts[:, 0] = np.linspace(-1.5, 1.5, 8)
+    pts[:, 2] = 0.5  # relative z above the box bottom
+    (crops / "000000_Car_0.bin").write_bytes(pts.tobytes())
+    infos = {
+        "Car": [{
+            "name": "Car",
+            "path": "kitti_gt_database/000000_Car_0.bin",
+            "box3d_lidar": np.asarray([10.0, 2.0, -1.8, 3.9, 1.6, 1.56, 0.3], np.float32),
+            "num_points_in_gt": 8,
+            "difficulty": 0,
+        }],
+        "Van": [{  # not in classes -> skipped
+            "name": "Van",
+            "path": "kitti_gt_database/missing.bin",
+            "box3d_lidar": np.zeros(7, np.float32),
+            "num_points_in_gt": 99,
+        }],
+    }
+    pkl = tmp_path / "kitti_dbinfos_train.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump(infos, f)
+
+    db = GroundTruthDatabase.from_dbinfos(str(pkl), str(tmp_path))
+    assert len(db._db[0]) == 1 and len(db._db[1]) == 0
+    box, loaded = db._db[0][0]
+    # center-z conversion: -1.8 + 1.56/2
+    assert box[2] == pytest.approx(-1.8 + 0.78)
+    # crop points made absolute
+    assert loaded[:, 0].mean() == pytest.approx(10.0, abs=0.1)
+    assert loaded[:, 2].mean() == pytest.approx(-1.8 + 0.5, abs=1e-5)
+
+    # pasting into an empty scene yields the car
+    sample = {
+        "points": np.zeros((50, 4), np.float32),
+        "gt_boxes": np.zeros((0, 7), np.float32),
+        "gt_labels": np.zeros((0,), np.int32),
+    }
+    out = db.paste(sample, np.random.RandomState(0))
+    assert len(out["gt_boxes"]) == 1
+    assert out["gt_labels"][0] == 0
