@@ -155,4 +155,44 @@ void rpc_prepare_batch(const char** paths, int batch, int stride,
   for (auto& t : threads) t.join();
 }
 
+// Load one lidar sweep and bring it into the key frame: xyz' = R*xyz + T
+// (rt = 12 floats row-major [R|T], or null for identity), channel `ts_ch`
+// set to the sweep's time lag. Returns the point count or -1 on IO error.
+int rpc_load_sweep(const char* path, float* out, int max_points, int stride,
+                   const float* rt, float lag, int ts_ch) {
+  int n = rpc_load_points(path, out, max_points, stride);
+  if (n < 0) return -1;
+  for (int i = 0; i < n; ++i) {
+    float* p = out + (size_t)i * stride;
+    if (rt) {
+      float x = p[0], y = p[1], z = p[2];
+      p[0] = rt[0] * x + rt[1] * y + rt[2] * z + rt[3];
+      p[1] = rt[4] * x + rt[5] * y + rt[6] * z + rt[7];
+      p[2] = rt[8] * x + rt[9] * y + rt[10] * z + rt[11];
+    }
+    if (ts_ch >= 0 && ts_ch < stride) p[ts_ch] = lag;
+  }
+  return n;
+}
+
+// Threaded multi-sweep assembly (NuScenes LoadPointsFromMultiSweeps): loads
+// `n_sweeps` files in parallel into per-sweep slots of `out`
+// [n_sweeps, max_points, stride]. rts: [n_sweeps, 12] row-major [R|T] per
+// sweep (rt_valid[s] == 0 -> identity). counts_out[s] = points or -1.
+void rpc_load_sweeps(const char** paths, int n_sweeps, int stride,
+                     const float* rts, const uint8_t* rt_valid,
+                     const float* lags, int ts_ch,
+                     float* out, int max_points, int* counts_out) {
+  std::vector<std::thread> threads;
+  threads.reserve(n_sweeps);
+  for (int s = 0; s < n_sweeps; ++s) {
+    threads.emplace_back([=]() {
+      counts_out[s] = rpc_load_sweep(
+          paths[s], out + (size_t)s * max_points * stride, max_points, stride,
+          rt_valid[s] ? rts + (size_t)s * 12 : nullptr, lags[s], ts_ch);
+    });
+  }
+  for (auto& t : threads) t.join();
+}
+
 }  // extern "C"

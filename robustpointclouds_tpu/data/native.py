@@ -66,6 +66,43 @@ def load_points(path: str, max_points: int = 200000, stride: int = 4) -> np.ndar
     return out[:n]
 
 
+def load_sweeps(
+    paths: Sequence[str],
+    rts: Sequence[Optional[np.ndarray]],
+    lags: Sequence[float],
+    max_points: int = 40000,
+    stride: int = 5,
+    ts_ch: int = 4,
+) -> list:
+    """Threaded native multi-sweep load (NuScenes LoadPointsFromMultiSweeps).
+
+    rts[s]: [3, 4] row-major [R|T] sensor->keyframe transform or None.
+    Returns a list of [n_s, stride] arrays (sweeps with IO errors dropped).
+    """
+    lib = get_lib()
+    S = len(paths)
+    out = np.zeros((S, max_points, stride), np.float32)
+    counts = np.zeros(S, np.int32)
+    rt_arr = np.zeros((S, 12), np.float32)
+    rt_valid = np.zeros(S, np.uint8)
+    for s, rt in enumerate(rts):
+        if rt is not None:
+            rt_arr[s] = np.asarray(rt, np.float32).reshape(12)
+            rt_valid[s] = 1
+    lag_arr = np.asarray(lags, np.float32)
+    path_bufs = [p.encode() for p in paths]
+    path_arr = (ctypes.c_char_p * S)(*path_bufs)
+    lib.rpc_load_sweeps(
+        path_arr, S, stride,
+        rt_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rt_valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lag_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), ts_ch,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_points,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return [out[s, : counts[s]] for s in range(S) if counts[s] >= 0]
+
+
 def prepare_batch(
     paths: Sequence[str],
     boxes: np.ndarray,        # [B, G, 7] float32 (mutated in place: augmented)

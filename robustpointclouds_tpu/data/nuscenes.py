@@ -86,8 +86,9 @@ class NuScenesDataset:
     def __len__(self):
         return len(self.infos)
 
-    def _load_sweeps(self, info, key_ts: float) -> list:
-        out = []
+    def _sweep_specs(self, info, key_ts: float) -> list:
+        """(path, [3,4] R|T or None, lag) per usable sweep."""
+        specs = []
         sweeps = info.get("sweeps") or info.get("lidar_sweeps") or []
         for sw in sweeps[: self.max_sweeps]:
             lid = sw.get("lidar_points", sw)
@@ -97,17 +98,40 @@ class NuScenesDataset:
             path = _normalize_path(self.data_root, sw_path)
             if not os.path.isfile(path):
                 continue
-            pts = _read_lidar(path)
             # v1 schema: sensor2lidar rotation/translation on the sweep
             R = sw.get("sensor2lidar_rotation", lid.get("sensor2lidar_rotation"))
             T = sw.get("sensor2lidar_translation", lid.get("sensor2lidar_translation"))
+            rt = None
             if R is not None and T is not None:
-                R = np.asarray(R, np.float64).reshape(3, 3)
-                T = np.asarray(T, np.float64).reshape(3)
-                pts = pts.copy()
-                pts[:, :3] = (pts[:, :3].astype(np.float64) @ R.T + T).astype(np.float32)
+                rt = np.concatenate(
+                    [np.asarray(R, np.float32).reshape(3, 3),
+                     np.asarray(T, np.float32).reshape(3, 1)], axis=1,
+                )
             ts = float(sw.get("timestamp", lid.get("timestamp", key_ts))) / 1e6
-            lag = max(key_ts / 1e6 - ts, 0.0)
+            specs.append((path, rt, max(key_ts / 1e6 - ts, 0.0)))
+        return specs
+
+    def _load_sweeps(self, info, key_ts: float) -> list:
+        specs = self._sweep_specs(info, key_ts)
+        if not specs:
+            return []
+        from . import native
+
+        if native.native_available():
+            # threaded native load+transform (csrc rpc_load_sweeps)
+            return native.load_sweeps(
+                [s[0] for s in specs], [s[1] for s in specs],
+                [s[2] for s in specs],
+            )
+        out = []
+        for path, rt, lag in specs:
+            pts = _read_lidar(path)
+            if rt is not None:
+                pts = pts.copy()
+                pts[:, :3] = (
+                    pts[:, :3].astype(np.float64) @ rt[:, :3].T.astype(np.float64)
+                    + rt[:, 3].astype(np.float64)
+                ).astype(np.float32)
             pts[:, 4] = lag
             out.append(pts)
         return out

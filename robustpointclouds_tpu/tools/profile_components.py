@@ -92,7 +92,10 @@ def main():
 
     from robustpointclouds_tpu.nn import SparseEncoder
 
-    enc = SparseEncoder(sparse_shape=vz.sparse_shape)
+    # match the model's compute dtype (bf16 default) — an f32 encoder here
+    # once misattributed ~150 ms/step (profile vs fused-step mismatch)
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    enc = SparseEncoder(sparse_shape=vz.sparse_shape, dtype=dt)
     enc_vars = {
         "params": params["middle_encoder"],
         "batch_stats": stats["middle_encoder"],

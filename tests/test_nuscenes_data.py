@@ -179,3 +179,31 @@ class TestFullNDS:
         gt, dt = self._frame(dt_offset=1.0)
         res = eval_nuscenes_map(gt, dt, CLASSES)
         assert res["mATE"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_native_sweep_load_matches_numpy(nus_root):
+    """The threaded native multi-sweep path (csrc rpc_load_sweeps) must
+    produce the same aggregated cloud as the numpy fallback."""
+    from robustpointclouds_tpu.data import native
+
+    if not native.native_available():
+        pytest.skip("native toolchain unavailable")
+    ds = nus.NuScenesDataset(nus_root, split="train", max_sweeps=9)
+    info = ds.infos[0]
+    key_ts = float(info.get("timestamp", 0.0))
+    specs = ds._sweep_specs(info, key_ts)
+    assert specs, "fixture should have sweeps"
+    got = native.load_sweeps(
+        [s[0] for s in specs], [s[1] for s in specs], [s[2] for s in specs]
+    )
+    # numpy reference
+    ref = []
+    for path, rt, lag in specs:
+        pts = np.fromfile(path, np.float32).reshape(-1, 5).copy()
+        if rt is not None:
+            pts[:, :3] = pts[:, :3] @ rt[:, :3].T + rt[:, 3]
+        pts[:, 4] = lag
+        ref.append(pts)
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-5)
