@@ -307,91 +307,6 @@ def _neighbor_index_windowed(in_grid, out_coords, out_mask, kernel_size, stride,
     return idx
 
 
-class WindowInfo(NamedTuple):
-    """Grouped window form of a neighbor index (see neighbor_window_info).
-
-    For each output site and (leading-axes) tap group, `p` is the rank of the
-    group's base query in the input id array, and `delta[s]` says which tap
-    (dx offset) window slot s resolves to (= kx for none). Together these
-    encode the same relation as the [N, K] neighbor index but admit a
-    3x-fewer-rows gather: one [kx*C]-wide row per group instead of kx
-    [C]-wide rows.
-    """
-
-    p: jnp.ndarray      # [N, G] int32 in [0, n_in]
-    delta: jnp.ndarray  # [N, G, kx] int32 in [0, kx]; kx = slot resolves nothing
-    kx: int             # static window width (= last-axis kernel extent)
-    n_in: int           # static input row count
-
-    @property
-    def num_taps(self) -> int:
-        return self.delta.shape[1] * self.kx
-
-
-def neighbor_window_info(
-    in_grid: SparseGrid,
-    out_coords: jnp.ndarray,
-    out_mask: jnp.ndarray,
-    kernel_size: Sequence[int],
-    stride: Sequence[int] = None,
-    padding: Sequence[int] = None,
-) -> WindowInfo:
-    """Windowed neighbor relation for convs whose last-axis taps are
-    consecutive in input coordinates (always true: input x = out_x*stride -
-    padding + dx for dx = 0..kx-1, regardless of stride).
-
-    Returns per (output row, group) the rank `p` of the group's base id and
-    the slot->tap alignment `delta` — everything a wide-row gather conv needs
-    (ops/subm_conv.subm_conv_windowed). One rank sort of (1 + K/kx)·N keys
-    replaces the (1 + K)·N of the dense form, and the downstream feature
-    gather touches G·N rows instead of K·N.
-    """
-    ndim = in_grid.ndim
-    stride = (1,) * ndim if stride is None else stride
-    padding = (1,) * ndim if padding is None else padding
-    kernel_size = tuple(int(v) for v in kernel_size)
-    kx = kernel_size[-1]
-    in_shape = in_grid.spatial_shape
-    strides = _strides_of(in_shape)
-    n = in_grid.flat_ids.shape[0]
-    id_space = int(np.prod([int(s) for s in in_shape], dtype=np.int64))
-    assert id_space < _PACK_CAP, "flat id space too large for packed rank sort"
-    group_offs = kernel_offsets(kernel_size[:-1])  # [G, ndim-1]
-    G = group_offs.shape[0]
-
-    base = [out_coords[:, a] * int(stride[a]) - int(padding[a]) for a in range(ndim)]
-    last = base[ndim - 1]
-    q0_cols = []
-    for g in range(G):
-        flat = last
-        valid = out_mask
-        for a in range(ndim - 1):
-            q = base[a] + int(group_offs[g, a])
-            valid = valid & (q >= 0) & (q < in_shape[a])
-            flat = flat + q * int(strides[a])
-        q0_cols.append(jnp.where(valid, flat, INT32_MAX).astype(jnp.int32))
-    q0 = jnp.stack(q0_cols, axis=1)  # [N, G]
-
-    p, _ = _rank_and_hit(in_grid.flat_ids, q0.reshape(-1))
-    p = p.reshape(q0.shape)
-
-    ids_pad = jnp.concatenate(
-        [in_grid.flat_ids, jnp.full((kx,), INT32_MAX, jnp.int32)]
-    )
-    ids_win_tbl = jnp.stack([ids_pad[d : d + n + 1] for d in range(kx)], axis=1)
-    idw = ids_win_tbl[jnp.minimum(p, n)]  # [N, G, kx]
-
-    # slot -> tap deltas, with q0 validity + per-tap x-bounds folded in
-    d = idw - q0[:, :, None]  # exact for valid slots; garbage where sentinel
-    q0_valid = (q0 != INT32_MAX)[:, :, None]
-    slot_real = idw != INT32_MAX
-    lx = last[:, None, None] + d  # x coordinate of the resolved tap
-    w_dim = in_shape[ndim - 1]
-    ok = q0_valid & slot_real & (d >= 0) & (d < kx) & (lx >= 0) & (lx < w_dim)
-    delta = jnp.where(ok, d, kx).astype(jnp.int32)
-    return WindowInfo(jnp.minimum(p, n), delta, kx, n)
-
-
 class XWindowInfo(NamedTuple):
     """x-window-table form of a neighbor relation (see neighbor_xwin_info).
 
@@ -477,21 +392,6 @@ def neighbor_xwin_info(
     lx = last[:, None] + jnp.arange(kx, dtype=jnp.int32)[None, :]
     xvalid = (lx >= 0) & (lx < w_dim)
     return XWindowInfo(rows, xvalid, kx, n)
-
-
-def window_info_to_index(win: WindowInfo) -> jnp.ndarray:
-    """Expand a WindowInfo to the dense [N, K] neighbor index (tap order =
-    kernel_offsets order: groups-major, dx-minor). Misses -> n_in."""
-    N, G = win.p.shape
-    # slot s sits at row p + s (clipped); tap t takes the slot with delta == t
-    rows = jnp.minimum(win.p[:, :, None] + jnp.arange(win.kx, dtype=jnp.int32), win.n_in)
-    cols = []
-    for t in range(win.kx):
-        hit = win.delta == t  # [N, G, kx]
-        r = jnp.min(jnp.where(hit, rows, win.n_in), axis=2)
-        cols.append(r)
-    # [N, G, kx] taps dx-minor
-    return jnp.stack(cols, axis=2).reshape(N, G * win.kx)
 
 
 def neighbor_index(

@@ -71,116 +71,6 @@ def _bwd(res, g):
 subm_conv.defvjp(_fwd, _bwd)
 
 
-def _window_table(feats: jnp.ndarray, kx: int) -> jnp.ndarray:
-    """[n, C] -> [n+1, kx*C] where row i = feats[i..i+kx-1] (zero-padded).
-
-    Built from shifted slices — no gather. Row n is all padding (the miss
-    row for clipped ranks)."""
-    n, c = feats.shape
-    feats_pad = jnp.concatenate([feats, jnp.zeros((kx, c), feats.dtype)], 0)
-    return jnp.concatenate([feats_pad[s : s + n + 1] for s in range(kx)], axis=1)
-
-
-def _gather_col_windowed(feats, p, delta, kx):
-    """Windowed img2col: one [kx*C]-wide row gather per (site, group).
-
-    p [N, G] window start ranks, delta [N, G, kx] slot->tap map
-    (sparse.neighbor_window_info). Returns col [N, K*C] in kernel_offsets
-    order (groups-major, dx-minor) — identical to _gather_col on the dense
-    index, but with G·N gathered rows instead of K·N (gathers on TPU are
-    row-count-bound, so this is the hot-path win).
-    """
-    n, c = feats.shape
-    nr, g = p.shape
-    tbl = _window_table(feats, kx)      # [n+1, kx*C]
-    w = tbl[p].reshape(nr, g, kx, c)    # [N, G, kx(slot), C]
-    cols = []
-    for t in range(kx):
-        acc = None
-        # window ids strictly increase, so slot s resolves tap >= s only
-        for s in range(t + 1):
-            m = (delta[:, :, s] == t)[:, :, None].astype(feats.dtype)
-            term = w[:, :, s, :] * m
-            acc = term if acc is None else acc + term
-        cols.append(acc)
-    col = jnp.stack(cols, axis=2)  # [N, G, kx(tap), C]
-    return col.reshape(nr, g * kx * c)
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def subm_conv_windowed(kx: int, feats, kernel, p, delta):
-    """Submanifold conv via the windowed gather, scatter-free both ways.
-
-    feats [N, Cin], kernel [K*Cin, Cout], (p, delta) from
-    sparse.neighbor_window_info on the SAME grid (out == in). Backward uses
-    the tap-mirror identity (see subm_conv): d_feats = gcol @ W_rev^T where
-    gcol is the SAME windowed gather applied to the cotangent — reversing the
-    weight blocks instead of the gather taps.
-    """
-    col = _gather_col_windowed(feats, p, delta, kx)
-    return jnp.dot(col, kernel, preferred_element_type=jnp.float32).astype(feats.dtype)
-
-
-def _swc_fwd(kx, feats, kernel, p, delta):
-    return subm_conv_windowed(kx, feats, kernel, p, delta), (feats, kernel, p, delta)
-
-
-def _swc_bwd(kx, res, g):
-    feats, kernel, p, delta = res
-    n, cin = feats.shape
-    kcin, cout = kernel.shape
-    k = kcin // cin
-    # d_feats[j] = sum_m g[nbr_m(j)] @ W_{K-1-m}^T  (mirrored-tap symmetry;
-    # reversing a row-major tap index mirrors every kernel axis)
-    w_rev = jnp.transpose(
-        kernel.reshape(k, cin, cout)[::-1], (0, 2, 1)
-    ).reshape(k * cout, cin)
-    g_col = _gather_col_windowed(g, p, delta, kx)
-    d_feats = jnp.dot(g_col, w_rev, preferred_element_type=jnp.float32).astype(feats.dtype)
-
-    col = _gather_col_windowed(feats, p, delta, kx)
-    d_kernel = jnp.dot(col.T, g, preferred_element_type=jnp.float32).astype(kernel.dtype)
-    return d_feats, d_kernel, None, None
-
-
-subm_conv_windowed.defvjp(_swc_fwd, _swc_bwd)
-
-
-@jax.custom_vjp
-def strided_conv_windowed(feats, kernel, p, delta, kx_arr, inv_idx):
-    """Strided conv: windowed forward gather + inverse-index backward gather.
-
-    kx_arr is a [kx]-shaped dummy carrying the static window width (custom_vjp
-    forbids mixing nondiff_argnums with array args cleanly here); inv_idx
-    [N_in, K] from sparse.inverse_from_forward.
-    """
-    kx = kx_arr.shape[0]
-    col = _gather_col_windowed(feats, p, delta, kx)
-    return jnp.dot(col, kernel, preferred_element_type=jnp.float32).astype(feats.dtype)
-
-
-def _stw_fwd(feats, kernel, p, delta, kx_arr, inv_idx):
-    out = strided_conv_windowed(feats, kernel, p, delta, kx_arr, inv_idx)
-    return out, (feats, kernel, p, delta, kx_arr, inv_idx)
-
-
-def _stw_bwd(res, g):
-    feats, kernel, p, delta, kx_arr, inv_idx = res
-    kx = kx_arr.shape[0]
-    n, cin = feats.shape
-    kcin, cout = kernel.shape
-    k = kcin // cin
-    w_t = jnp.transpose(kernel.reshape(k, cin, cout), (0, 2, 1)).reshape(k * cout, cin)
-    g_col = _gather_col(g, inv_idx)  # [N_in, K*Cout], tap-aligned
-    d_feats = jnp.dot(g_col, w_t, preferred_element_type=jnp.float32).astype(feats.dtype)
-    col = _gather_col_windowed(feats, p, delta, kx)
-    d_kernel = jnp.dot(col.T, g, preferred_element_type=jnp.float32).astype(kernel.dtype)
-    return d_feats, d_kernel, None, None, None, None
-
-
-strided_conv_windowed.defvjp(_stw_fwd, _stw_bwd)
-
-
 def x_window_table(feats: jnp.ndarray, ids: jnp.ndarray, kx: int) -> jnp.ndarray:
     """Input-side resolved window table: [n*kx + 1, kx*C].
 
