@@ -22,14 +22,16 @@ TPU design notes:
     the full batch exactly like the reference's BN1d.
   * The submanifold neighbor relation is computed ONCE per grid resolution
     (one rank sort) and shared by every subm conv on that grid.
-  * Subm convs gather through the x-window table (ops/subm_conv.x_window_table):
-    G*N rows of width kx*C instead of K*N rows of width C. Gathers on v5e are
-    row-count-bound (measured identical for 16ch vs 64ch rows), so 3x fewer
-    rows is a direct win; the per-site slot-resolution variant that was tried
-    first lost 2-4x to VPU masking work and is gone.
-  * Strided convs use the dense [N, K] index forward (their inverse-side
-    backward needs the dense index anyway, and a second rank sort for an
-    x-window form costs more than the gather saves).
+  * Gather formulation is chosen PER LAYER WIDTH (v5e A/B, bf16, N=96k):
+    narrow rows are row-count-bound (16ch and 64ch dense rows cost the same,
+    ~3.3 ns/row), so the x-window table's 3x-fewer-but-3x-wider rows win at
+    Cin <= XWIN_MAX_CIN (12.6 vs 19.3 ms fwd+bwd at 16ch) — but by 64ch the
+    3*C-wide rows go byte-bound and lose 1.9x (35.3 vs 18.8 ms), so wide
+    layers use the dense [N, K] index. The per-site slot-resolution variant
+    tried first lost 2-4x everywhere and is gone.
+  * Strided convs reuse their fused-downsample dense index for the backward;
+    the forward picks xwin (derived FREE from that index) or dense by the
+    same width rule.
 """
 from __future__ import annotations
 
@@ -44,6 +46,10 @@ from ..ops import subm_conv as subm_conv_ops
 from .layers import MaskedBatchNorm
 
 _SUBM_KERNEL = (1, 3, 3, 3)  # batch axis has extent 1
+
+# widest Cin for which the x-window gather beats the dense-index gather on
+# v5e (bf16 rows go byte-bound past ~kx*16 channels; see module docstring)
+XWIN_MAX_CIN = 16
 
 
 class SparseConvBlock(nn.Module):
@@ -129,17 +135,28 @@ class SparseEncoder(nn.Module):
         """
         n_cap = voxel_features.shape[0]
 
-        def subm_xwin(g: sparse.SparseGrid):
-            # one window build per grid resolution, shared by every subm conv
-            return sparse.neighbor_xwin_info(
-                g, g.coords, g.mask, _SUBM_KERNEL, (1, 1, 1, 1), (0, 1, 1, 1)
-            )
+        def subm_rel(g: sparse.SparseGrid, cin: int):
+            # ONE relation build per grid resolution, shared by every subm
+            # conv on it — xwin or dense by the width rule (module docstring)
+            if cin <= XWIN_MAX_CIN:
+                return {
+                    "xwin": sparse.neighbor_xwin_info(
+                        g, g.coords, g.mask, _SUBM_KERNEL, (1, 1, 1, 1), (0, 1, 1, 1)
+                    ),
+                    "ids": g.flat_ids,
+                }
+            return {
+                "idx": sparse.neighbor_index(
+                    g, g.coords, g.mask, _SUBM_KERNEL, (1, 1, 1, 1), (0, 1, 1, 1)
+                )
+            }
 
         x = voxel_features
         g = grid
-        xwin = subm_xwin(g)
+        # conv_input (Cin=4) and stage-0 subm (16) share the grid-0 relation
+        rel = subm_rel(g, max(self.in_channels, self.base_channels))
         x = SparseConvBlock(self.base_channels, dtype=self.dtype, name="conv_input")(
-            x, g.mask, train, xwin=xwin, ids=g.flat_ids
+            x, g.mask, train, **rel
         )
         for i, stage in enumerate(self.encoder_channels):
             for j, ch in enumerate(stage):
@@ -156,23 +173,25 @@ class SparseEncoder(nn.Module):
                         g, k4, s4, p4,
                         out_cap=max(int(n_cap * self.stage_cap_factors[i]), 1),
                     )
-                    # x-window form of the forward gather, derived from the
-                    # dense index (no extra sort)
-                    down_xwin = sparse.xwin_from_index(
-                        down_idx, new_g.coords, new_g.mask, k4[-1],
-                        g.flat_ids.shape[0], s4[-1], p4[-1],
-                        g.spatial_shape[-1],
-                    )
+                    if x.shape[-1] <= XWIN_MAX_CIN:
+                        # x-window forward gather, derived FREE from the index
+                        down_xwin = sparse.xwin_from_index(
+                            down_idx, new_g.coords, new_g.mask, k4[-1],
+                            g.flat_ids.shape[0], s4[-1], p4[-1],
+                            g.spatial_shape[-1],
+                        )
+                        down_kw = dict(xwin=down_xwin, ids=g.flat_ids)
+                    else:
+                        down_kw = dict(idx=down_idx)
                     x = SparseConvBlock(
                         ch, symmetric_taps=False, dtype=self.dtype,
                         name=f"stage{i}_down",
-                    )(x, new_g.mask, train, inv_idx=down_inv,
-                      xwin=down_xwin, ids=g.flat_ids)
+                    )(x, new_g.mask, train, inv_idx=down_inv, **down_kw)
                     g = new_g
-                    xwin = subm_xwin(g)
+                    rel = subm_rel(g, ch)
                 else:
                     x = SparseConvBlock(ch, dtype=self.dtype, name=f"stage{i}_subm{j}")(
-                        x, g.mask, train, xwin=xwin, ids=g.flat_ids
+                        x, g.mask, train, **rel
                     )
 
         # conv_out: kernel (3,1,1) stride (2,1,1) padding 0 over (z,y,x) —
