@@ -25,9 +25,9 @@ TPU design notes:
   * Gather formulation is chosen PER LAYER WIDTH (v5e A/B, bf16, N=96k):
     narrow rows are row-count-bound (16ch and 64ch dense rows cost the same,
     ~3.3 ns/row), so the x-window table's 3x-fewer-but-3x-wider rows win at
-    Cin <= XWIN_MAX_CIN (12.6 vs 19.3 ms fwd+bwd at 16ch) — but by 64ch the
-    3*C-wide rows go byte-bound and lose 1.9x (35.3 vs 18.8 ms), so wide
-    layers use the dense [N, K] index. The per-site slot-resolution variant
+    Cin <= XWIN_MAX_CIN (12.6 vs 19.3 ms fwd+bwd at 16ch; 13.9 vs 20.2 at
+    32ch) — but by 64ch the 3*C-wide rows go byte-bound and lose 1.9x
+    (35.3 vs 18.8 ms), so 64ch layers use the dense [N, K] index. The per-site slot-resolution variant
     tried first lost 2-4x everywhere and is gone.
   * Strided convs reuse their fused-downsample dense index for the backward;
     the forward picks xwin (derived FREE from that index) or dense by the
@@ -48,8 +48,9 @@ from .layers import MaskedBatchNorm
 _SUBM_KERNEL = (1, 3, 3, 3)  # batch axis has extent 1
 
 # widest Cin for which the x-window gather beats the dense-index gather on
-# v5e (bf16 rows go byte-bound past ~kx*16 channels; see module docstring)
-XWIN_MAX_CIN = 16
+# v5e: 32ch still wins 1.45x (13.9 vs 20.2 ms fwd+bwd; 192 B rows stay
+# row-count-bound), 64ch loses 1.9x (384 B rows go byte-bound)
+XWIN_MAX_CIN = 32
 
 
 class SparseConvBlock(nn.Module):
