@@ -43,6 +43,7 @@ def evaluate_checkpoint(work_dir, data_root, batch_size, synthetic, limit,
                         allow_random_init=False):
     import jax
 
+    from ..data.structures import PointCloudBatch
     from ..models import VoxelNetConfig
     from ..train import TrainConfig, Trainer
     from ..train.checkpoint import CheckpointManager
@@ -75,9 +76,13 @@ def evaluate_checkpoint(work_dir, data_root, batch_size, synthetic, limit,
             batches = list(synthetic_loader(batch_size, 4, num_points=num_points,
                                             seed=999, point_range=pcr)(0))
         else:
-            batches = kitti_val_loader(data_root, batch_size, model_cfg, limit=limit)
+            # materialize: the first batch is needed for init AND must still
+            # be scored (consuming a generator here would silently drop it)
+            batches = list(kitti_val_loader(data_root, batch_size, model_cfg, limit=limit))
 
-    sample = batches[0] if isinstance(batches, list) else next(iter(batches))
+    sample = batches[0]
+    if not isinstance(sample, PointCloudBatch):
+        sample = sample[0]  # (batch, metas) pair from the val loader
     state = trainer.init_state(jax.random.PRNGKey(0), sample)
     ckpt = CheckpointManager(work_dir)
     latest = ckpt.latest_epoch()
@@ -98,8 +103,7 @@ def evaluate_checkpoint(work_dir, data_root, batch_size, synthetic, limit,
             "to score a random init (pass --allow-random-init for smoke runs)"
         )
 
-    return run_evaluation(trainer, state, iter(batches) if isinstance(batches, list) else batches,
-                          attack=attack)
+    return run_evaluation(trainer, state, iter(batches), attack=attack)
 
 
 def main():

@@ -275,3 +275,30 @@ def test_dbinfos_preseed(tmp_path):
     out = db.paste(sample, np.random.RandomState(0))
     assert len(out["gt_boxes"]) == 1
     assert out["gt_labels"][0] == 0
+
+
+def test_val_loader_metas_drive_image_plane_metrics(kitti_root):
+    """End to end: val-loader metas (calib, GT 2D boxes, DontCare) flow
+    through run_evaluation into the 2d/aos metrics."""
+    from robustpointclouds_tpu.cli.evaluate_kitti_3class import evaluate_checkpoint
+
+    res = evaluate_checkpoint(
+        "work_dirs/__does_not_exist__", kitti_root, 2, False, None,
+        tiny=True, allow_random_init=True,
+    )
+    # image-plane keys present (random init -> values are 0, keys matter)
+    assert "Car_2d_moderate" in res
+    assert "Car_aos_moderate" in res
+    assert "Car_bev_moderate" in res
+
+
+def test_val_loader_metas_have_image_plane_fields(kitti_root):
+    from robustpointclouds_tpu.models import VoxelNetConfig
+
+    batch, metas = next(iter(kitti.kitti_val_loader(kitti_root, 1, VoxelNetConfig())))
+    m = metas[0]
+    assert m["calib"] is not None and "P2" in m["calib"]
+    assert m["dontcare"].shape == (1, 4)
+    assert m["gt_bbox2d"].shape[1] == 4
+    # the Car row's 2D box comes straight from the label file
+    assert m["gt_bbox2d"][0].tolist() == [300.0, 150.0, 350.0, 200.0]
