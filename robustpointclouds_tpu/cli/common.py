@@ -239,12 +239,16 @@ def run_evaluation(
     state,
     batches: Iterator[PointCloudBatch],
     attack: bool = False,
+    dump_path: Optional[str] = None,
 ) -> Dict[str, float]:
     """Clean or attack-mode evaluation -> KITTI AP dict.
 
     attack=True forces the adversary with eval-attack bounds at test time —
     the reference's `evaluate_kitti_adversarial_attack` measurement
     (patch_model_for_adversarial_eval, evaluate_kitti_adversarial_attack.py:23-62).
+    dump_path: write per-frame detections (frame_id, boxes_3d, scores,
+    labels) as a pickle — the reference's `pklfile_prefix` result dump
+    (testUpdated.bat:12) used for offline analysis / KITTI submission prep.
     """
     # StrongTrainer wraps the base detector config under .base
     cfg = getattr(trainer.model_cfg, "base", trainer.model_cfg)
@@ -258,6 +262,7 @@ def run_evaluation(
         lambda cls, box, d: anchor_head_predict(cls, box, d, trainer.anchors, head)
     )
     n = 0
+    dumped = []
     for item in batches:
         # loaders may yield (batch, metas) with per-row gt difficulty and a
         # validity flag (False on rows padding the last short batch — those
@@ -284,7 +289,22 @@ def run_evaluation(
                 gt_difficulty=meta.get("gt_difficulty"),
                 meta=meta,
             )
+            if dump_path is not None:
+                m = np.asarray(mask[b], bool)
+                dumped.append({
+                    "frame_id": meta.get("frame_id", str(n)),
+                    "boxes_3d": np.asarray(boxes[b])[m],
+                    "scores": np.asarray(scores[b])[m],
+                    "labels": np.asarray(labels[b])[m],
+                })
             n += 1
     results = metric.compute()
     results["num_frames"] = n
+    if dump_path is not None:
+        import pickle
+
+        os.makedirs(os.path.dirname(dump_path) or ".", exist_ok=True)
+        with open(dump_path, "wb") as f:
+            pickle.dump(dumped, f)
+        print(f"[dump] wrote {len(dumped)} frames of detections to {dump_path}")
     return results

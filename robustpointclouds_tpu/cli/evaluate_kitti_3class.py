@@ -35,12 +35,15 @@ def parse_args():
     p.add_argument("--tiny", action="store_true", help="shrunken grid for smoke runs")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--limit", type=int, default=None, help="max val frames")
+    p.add_argument("--dump-results", default=None, metavar="PKL",
+                   help="write per-frame detections (the reference's "
+                        "pklfile_prefix result dump)")
     return p.parse_args()
 
 
 def evaluate_checkpoint(work_dir, data_root, batch_size, synthetic, limit,
                         attack=False, tiny=False, load_from=None,
-                        allow_random_init=False):
+                        allow_random_init=False, dump_results=None):
     import jax
 
     from ..data.structures import PointCloudBatch
@@ -103,7 +106,8 @@ def evaluate_checkpoint(work_dir, data_root, batch_size, synthetic, limit,
             "to score a random init (pass --allow-random-init for smoke runs)"
         )
 
-    return run_evaluation(trainer, state, iter(batches), attack=attack)
+    return run_evaluation(trainer, state, iter(batches), attack=attack,
+                          dump_path=dump_results)
 
 
 def main():
@@ -121,6 +125,7 @@ def main():
                 wd, args.data_root, args.batch_size, args.synthetic, args.limit,
                 tiny=args.tiny, load_from=args.load_from,
                 allow_random_init=args.allow_random_init,
+                dump_results=args.dump_results,
             )
             print(json.dumps(results["clean"], indent=2))
         except Exception as e:  # keep the reference's per-mode SUCCESS/FAIL table
@@ -134,6 +139,7 @@ def main():
                 wd, args.data_root, args.batch_size, args.synthetic, args.limit,
                 tiny=args.tiny, load_from=args.load_from,
                 allow_random_init=args.allow_random_init,
+                dump_results=args.dump_results,
             )
             print(json.dumps(results["adversarial"], indent=2))
         except Exception as e:

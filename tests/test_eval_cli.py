@@ -23,3 +23,18 @@ def test_allow_random_init_flag(tmp_path):
         tiny=True, allow_random_init=True,
     )
     assert "mAP_3d_moderate" in res
+
+
+def test_dump_results(tmp_path):
+    import pickle
+
+    dump = str(tmp_path / "out" / "results.pkl")
+    evaluate_checkpoint(
+        str(tmp_path / "nope"), "data/kitti", 2, True, None,
+        tiny=True, allow_random_init=True, dump_results=dump,
+    )
+    with open(dump, "rb") as f:
+        frames = pickle.load(f)
+    assert len(frames) == 8  # 4 synthetic batches x 2 rows
+    assert {"frame_id", "boxes_3d", "scores", "labels"} <= set(frames[0])
+    assert frames[0]["boxes_3d"].shape[1] == 7
