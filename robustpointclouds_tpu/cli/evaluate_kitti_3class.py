@@ -90,7 +90,14 @@ def evaluate_checkpoint(work_dir, data_root, batch_size, synthetic, limit,
     ckpt = CheckpointManager(work_dir)
     latest = ckpt.latest_epoch()
     if latest is not None:
-        state = ckpt.restore(state)
+        try:
+            state = ckpt.restore(state)
+        except Exception as e:
+            raise RuntimeError(
+                f"checkpoint in {work_dir!r} does not match the evaluated "
+                f"model (e.g. a --tiny smoke run wrote it); point "
+                f"--checkpoint/--work-dir at the right run: {e}"
+            ) from e
         print(f"[eval] restored epoch {latest} from {work_dir}")
     elif load_from is not None:
         from ..train.checkpoint import load_pretrained
