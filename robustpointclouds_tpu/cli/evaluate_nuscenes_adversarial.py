@@ -28,6 +28,10 @@ def parse_args():
     p.add_argument("--frames", type=int, default=8, help="synthetic val frames")
     p.add_argument("--limit", type=int, default=None,
                    help="cap on real val frames (default: full split)")
+    p.add_argument("--pretrained", default=None,
+                   help="warm start scored when the work dir is empty")
+    p.add_argument("--allow-random-init", action="store_true",
+                   help="score an untrained model (smoke runs only)")
     return p.parse_args()
 
 
@@ -85,10 +89,27 @@ def _evaluate(work_dir, args, attack: bool):
     state = trainer.init_state(jax.random.PRNGKey(0), first)
     ckpt = CheckpointManager(work_dir)
     if ckpt.latest_epoch() is not None:
-        state = ckpt.restore(state)
+        try:
+            state = ckpt.restore(state)
+        except Exception as e:
+            raise RuntimeError(
+                f"checkpoint in {work_dir!r} does not match the evaluated "
+                f"model (e.g. a --tiny smoke run wrote it): {e}"
+            ) from e
         print(f"[eval] restored epoch {ckpt.latest_epoch()} from {work_dir}")
+    elif getattr(args, "pretrained", None):
+        from ..train.checkpoint import load_pretrained
+
+        state = load_pretrained(state, args.pretrained)
+        print(f"[eval] warm start from {args.pretrained}")
+    elif getattr(args, "allow_random_init", False):
+        print(f"[warn] no checkpoint in {work_dir}; evaluating RANDOM INIT "
+              "(--allow-random-init)")
     else:
-        print(f"[warn] no checkpoint in {work_dir}; evaluating random init")
+        raise FileNotFoundError(
+            f"no checkpoint in {work_dir!r} and no --pretrained given; "
+            "refusing to score a random init (--allow-random-init for smoke)"
+        )
 
     return evaluate_centerpoint(trainer, state, batches, attack=attack)
 
