@@ -38,3 +38,17 @@ def test_dump_results(tmp_path):
     assert len(frames) == 8  # 4 synthetic batches x 2 rows
     assert {"frame_id", "boxes_3d", "scores", "labels"} <= set(frames[0])
     assert frames[0]["boxes_3d"].shape[1] == 7
+
+
+def test_nuscenes_eval_refuses_random_init(tmp_path):
+    import argparse
+
+    from robustpointclouds_tpu.cli.evaluate_nuscenes_adversarial import _evaluate
+
+    args = argparse.Namespace(
+        data_root=str(tmp_path / "no_nuscenes"), synthetic=True, tiny=True,
+        frames=1, batch_size=1, limit=None, pretrained=None,
+        allow_random_init=False,
+    )
+    with pytest.raises(FileNotFoundError, match="refusing"):
+        _evaluate(str(tmp_path / "empty_wd"), args, attack=False)
