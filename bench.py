@@ -38,7 +38,10 @@ def main():
     from robustpointclouds_tpu.models import VoxelNetConfig
     from robustpointclouds_tpu.train import TrainConfig, Trainer
 
-    batch_size = 6  # reference KITTI recipe (BASELINE.md)
+    # reference KITTI recipe batch (BASELINE.md); BENCH_BATCH overrides for
+    # scaling studies (fixed per-step work grows linearly, so larger batches
+    # amortize nothing structurally — measured headroom goes in PARITY.md)
+    batch_size = int(os.environ.get("BENCH_BATCH", "6"))
     model_cfg = VoxelNetConfig()
     trainer = Trainer(model_cfg=model_cfg, train_cfg=TrainConfig())
 

@@ -138,8 +138,15 @@ class SparseEncoder(nn.Module):
 
         def subm_rel(g: sparse.SparseGrid, cin: int):
             # ONE relation build per grid resolution, shared by every subm
-            # conv on it — xwin or dense by the width rule (module docstring)
-            if cin <= XWIN_MAX_CIN:
+            # conv on it — xwin or dense by the width rule (module docstring).
+            # The packed rank sort needs the merged-batch id space in 30 bits
+            # (true up to B=11 at the KITTI grid); beyond that fall back to
+            # the dense index, whose lookup degrades to the non-packed path.
+            import numpy as _np
+
+            id_space = int(_np.prod([int(s) for s in g.spatial_shape],
+                                    dtype=_np.int64))
+            if cin <= XWIN_MAX_CIN and id_space + _SUBM_KERNEL[-1] < sparse._PACK_CAP:
                 return {
                     "xwin": sparse.neighbor_xwin_info(
                         g, g.coords, g.mask, _SUBM_KERNEL, (1, 1, 1, 1), (0, 1, 1, 1)

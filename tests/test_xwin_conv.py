@@ -252,3 +252,37 @@ def test_rank_and_succ_delta():
     # EXCEPT a sentinel query, which aliases the clamped sentinel id (d0=0) —
     # callers must mask q == INT32_MAX themselves (neighbor_xwin_info does)
     np.testing.assert_array_equal(np.asarray(d0), [3, 0, 1, 0, 2, 0, 3, 0])
+
+
+def test_encoder_rel_falls_back_beyond_pack_cap():
+    """Merged-batch id spaces beyond 2^30 (B>=12 at the KITTI grid) must use
+    the dense relation (non-packed lookup) instead of asserting."""
+    import jax.numpy as jnp
+
+    from robustpointclouds_tpu.nn.sparse_encoder import SparseEncoder
+
+    # id space = 2*1024*1024*1023 ~ 2.145e9: > _PACK_CAP, < int32 max
+    shape = (2, 1024, 1024, 1023)
+    assert int(np.prod(shape, dtype=np.int64)) > sparse._PACK_CAP
+    rng = np.random.RandomState(3)
+    n, cap = 60, 64
+    coords = np.stack([
+        rng.randint(0, 2, n),
+        rng.randint(0, 1024, n),
+        rng.randint(0, 1024, n),
+        rng.randint(0, 1023, n),
+    ], axis=1).astype(np.int32)
+    coords = np.concatenate([coords, np.zeros((cap - n, 4), np.int32)], 0)
+    mask = np.arange(cap) < n
+    g = sparse.make_grid(jnp.asarray(coords), jnp.asarray(mask), shape)
+    # duplicate random coords possible: rebuild mask from unique ids
+    feats = jnp.asarray(rng.randn(cap, 4).astype(np.float32))
+    feats = jnp.where(g.mask[:, None], feats, 0.0)
+
+    enc = SparseEncoder(sparse_shape=shape[1:], base_channels=4,
+                        encoder_channels=((4,), (8, 8)), out_channels=8)
+    import jax
+
+    v = enc.init(jax.random.PRNGKey(0), feats, g, False)
+    out = enc.apply(v, feats, g, False)
+    assert np.isfinite(np.asarray(out)).all()
