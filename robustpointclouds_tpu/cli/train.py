@@ -27,6 +27,9 @@ def parse_args(argv=None):
                    help="data-parallel device count (default: all attached)")
     p.add_argument("--amp", action="store_true",
                    help="bfloat16 matmul precision (reference --amp equivalent)")
+    p.add_argument("--auto-scale-lr", action="store_true",
+                   help="scale lr by effective_batch / auto_scale_lr.base_batch_size "
+                        "(reference train.py:33-35 semantics)")
     p.add_argument("--synthetic", action="store_true",
                    help="force synthetic data even if the dataset exists")
     p.add_argument("--validate", action="store_true")
@@ -95,6 +98,15 @@ def main(argv=None):
     train_cfg = build_train_config(
         cfg, steps_per_epoch=steps_per_epoch or 1000, max_epochs=max_epochs
     )
+    if args.auto_scale_lr:
+        base_bs = int(cfg.get("auto_scale_lr", {}).get("base_batch_size", 48))
+        scale = batch_size * max(args.devices or 1, 1) / base_bs
+        import dataclasses
+
+        train_cfg = dataclasses.replace(
+            train_cfg, learning_rate=train_cfg.learning_rate * scale
+        )
+        print(f"[auto-scale-lr] x{scale:.3f} -> lr {train_cfg.learning_rate:.2e}")
     trainer = Trainer(model_cfg=model_cfg, train_cfg=train_cfg, mesh=mesh)
 
     use_synth = args.synthetic

@@ -72,3 +72,24 @@ def test_generic_cli_cfg_option_changes_model(tmp_path):
     assert mc.adversary is not None
     # adversary config rides as a kwargs dict into VoxelPerturber
     assert mc.adversary["sensor_error_bound"] == pytest.approx(0.31)
+
+
+def test_auto_scale_lr(tmp_path, capsys):
+    from robustpointclouds_tpu.cli.train import main
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "_base_", "kitti-3d-3class.py",
+    )
+    cfg_path = tmp_path / "tiny.py"
+    cfg_path.write_text(
+        TINY_CFG.format(base=base)
+        + "\nauto_scale_lr = dict(base_batch_size=48)\n"
+    )
+    main([
+        str(cfg_path), "--synthetic", "--steps-per-epoch", "1",
+        "--work-dir", str(tmp_path / "wd"), "--auto-scale-lr",
+    ])
+    out = capsys.readouterr().out
+    # batch 8 / base 48 -> x0.167 of the config's 1e-4
+    assert "[auto-scale-lr] x0.167" in out
