@@ -223,6 +223,11 @@ def run_training(
             metrics = run_evaluation(trainer, state, val_loader(), attack=False)
             history[f"val_epoch{epoch}"] = metrics
             print(f"[val epoch {epoch}] {metrics}")
+            # keep the best-mAP checkpoint (reference CheckpointHook
+            # save_best='...mAP', adversarial-centerpoint_voxel-nuscenes.py:98)
+            key = "mAP_3d_moderate" if "mAP_3d_moderate" in metrics else "mAP"
+            if key in metrics and ckpt.save_best(metrics[key], state, epoch):
+                print(f"[ckpt] new best {key}={metrics[key]:.2f} (epoch {epoch})")
         if ladder.should_stop:
             break
 

@@ -51,6 +51,42 @@ class CheckpointManager:
             return True
         return False
 
+    # -- best-metric checkpoint (reference CheckpointHook save_best,
+    #    adversarial-centerpoint_voxel-nuscenes.py:98) -------------------
+    def save_best(self, metric_value: float, state: TrainState, epoch: int) -> bool:
+        """Keep the single best-metric checkpoint under <dir>/best.
+
+        Returns True when this value beat the stored best (higher is better,
+        matching the reference's mAP key)."""
+        import json
+
+        best_file = os.path.join(self.directory, "best_metric.json")
+        prev = None
+        if os.path.isfile(best_file):
+            with open(best_file) as f:
+                prev = json.load(f)
+        if prev is not None and metric_value <= prev.get("value", -float("inf")):
+            return False
+        best_dir = os.path.join(self.directory, "best")
+        ckpt = ocp.StandardCheckpointer()
+        import shutil
+
+        if os.path.isdir(best_dir):
+            shutil.rmtree(best_dir)
+        ckpt.save(best_dir, state._asdict())
+        ckpt.wait_until_finished()
+        with open(best_file, "w") as f:
+            json.dump({"value": float(metric_value), "epoch": int(epoch)}, f)
+        return True
+
+    def restore_best(self, state_template: TrainState) -> TrainState:
+        best_dir = os.path.join(self.directory, "best")
+        if not os.path.isdir(best_dir):
+            raise FileNotFoundError(f"no best checkpoint under {self.directory}")
+        ckpt = ocp.StandardCheckpointer()
+        restored = ckpt.restore(best_dir, state_template._asdict())
+        return TrainState(**restored)
+
 
 def load_pretrained(state: TrainState, path: str) -> TrainState:
     """Warm start: overlay params + batch_stats from a pretrained checkpoint.

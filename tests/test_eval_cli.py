@@ -4,6 +4,7 @@ Reference clean mode evaluates a zoo checkpoint (evaluate_kitti_3class.py:57-61)
 scoring an untrained model would make its numbers meaningless (round-1 verdict
 weakness #9).
 """
+import numpy as np
 import pytest
 
 from robustpointclouds_tpu.cli.evaluate_kitti_3class import evaluate_checkpoint
@@ -52,3 +53,42 @@ def test_nuscenes_eval_refuses_random_init(tmp_path):
     )
     with pytest.raises(FileNotFoundError, match="refusing"):
         _evaluate(str(tmp_path / "empty_wd"), args, attack=False)
+
+
+def test_save_best_checkpoint(tmp_path):
+    """save_best keeps only the best-metric state and restore_best returns it
+    (reference CheckpointHook save_best semantics)."""
+    import jax
+
+    from robustpointclouds_tpu.cli.common import synthetic_loader
+    from robustpointclouds_tpu.train import TrainConfig, Trainer
+    from robustpointclouds_tpu.train.checkpoint import CheckpointManager
+    from robustpointclouds_tpu.models import VoxelNetConfig
+    from robustpointclouds_tpu.ops.voxelize import VoxelizerConfig
+
+    cfg = VoxelNetConfig(
+        voxelizer=VoxelizerConfig(
+            point_cloud_range=(0.0, -8.0, -3.0, 16.0, 8.0, 1.0),
+            voxel_size=(0.5, 0.5, 0.125), max_points_per_voxel=3, max_voxels=512,
+        ),
+        anchor_ranges=tuple((0, -8.0, -0.6, 16.0, 8.0, -0.6) for _ in range(3)),
+    )
+    trainer = Trainer(model_cfg=cfg, train_cfg=TrainConfig())
+    batch = next(iter(synthetic_loader(1, 1, num_points=256,
+                                       point_range=cfg.voxelizer.point_cloud_range)(0)))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    mgr = CheckpointManager(str(tmp_path / "wd"))
+
+    assert mgr.save_best(10.0, state, epoch=1)
+    assert not mgr.save_best(5.0, state, epoch=2)   # worse: not kept
+    assert mgr.save_best(20.0, state, epoch=3)      # better: replaces
+    restored = mgr.restore_best(state)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+    )
+    import json
+
+    with open(tmp_path / "wd" / "best_metric.json") as f:
+        rec = json.load(f)
+    assert rec == {"value": 20.0, "epoch": 3}
