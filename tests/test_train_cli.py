@@ -28,6 +28,7 @@ model = dict(
     ),
 )
 max_epochs = 1
+val_interval = 1
 batch_size = 8
 """
 
@@ -42,17 +43,17 @@ def test_generic_cli_mesh_training(tmp_path):
     cfg_path = tmp_path / "tiny.py"
     cfg_path.write_text(TINY_CFG.format(base=base))
     out = main([
-        str(cfg_path), "--synthetic", "--devices", "8",
+        str(cfg_path), "--synthetic", "--devices", "8", "--validate",
         "--steps-per-epoch", "2", "--work-dir", str(tmp_path / "wd"),
         "--cfg-options", "model.adversary_cfg.sensor_error_bound=0.3",
     ])
-    hist = out["history"]
-    assert np.isfinite(hist["loss"][-1] if isinstance(hist.get("loss"), list)
-                       else list(hist.values())[0] if hist else 0.0) or True
     # the built model really came from the config (+ override)
     assert out["state"] is not None
     # checkpoint written
     assert any(os.scandir(tmp_path / "wd"))
+    # validation ran and the best-mAP checkpoint was recorded
+    assert any(k.startswith("val_epoch") for k in out["history"])
+    assert os.path.isfile(tmp_path / "wd" / "best_metric.json")
 
 
 def test_generic_cli_cfg_option_changes_model(tmp_path):
