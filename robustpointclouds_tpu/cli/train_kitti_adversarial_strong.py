@@ -230,6 +230,9 @@ def main():
         if val_loader is not None and (epoch + 1) % 2 == 0:
             metrics = run_evaluation(trainer, state, val_loader())
             val_history[f"val_epoch{epoch}"] = metrics
+            key = "mAP_3d_moderate"
+            if key in metrics and ckpt.save_best(metrics[key], state, epoch):
+                print(f"[ckpt] new best {key}={metrics[key]:.2f} (epoch {epoch})")
             monitor.record(epoch, -1, {f"val_{k}": v for k, v in metrics.items()
                                        if isinstance(v, (int, float))})
             print(f"[val epoch {epoch}] {metrics}")
