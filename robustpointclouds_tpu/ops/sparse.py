@@ -192,6 +192,95 @@ def _rank_and_succ_delta(sorted_ids: jnp.ndarray, q: jnp.ndarray, dmax: int):
     return out // span, out % span
 
 
+def merge_path_ranks(
+    sorted_ids: jnp.ndarray,
+    sorted_queries: jnp.ndarray,
+    dmax: int,
+    tile: int = 1024,
+):
+    """(rank, clamped successor delta) for a SORTED query stream — no sort.
+
+    Sort-free alternative to :func:`_rank_and_succ_delta` for the submanifold
+    case, where each tap group's queries (ids + const offset) are already in
+    output order: merge-path diagonal partitioning of (table, queries) gives
+    tiles whose static table window PROVABLY contains every owned query's
+    rank (both streams sorted), so ranks come from an in-window [D, D]
+    compare + row-sum and the successor from an in-window masked min — VPU
+    work instead of a (1+G)N-key bitonic sort. Opt-in groundwork for the
+    round-3 index path (PARITY.md design notes); numerically exact vs the
+    packed sort (tested).
+
+    Args:
+        sorted_ids: [n] ascending unique int32 (padding = INT32_MAX).
+        sorted_queries: [m] ascending int32 (sentinels INT32_MAX at the end
+            resolve to rank = #real-ids via the clamped comparison; callers
+            mask sentinels like they do for the sort path).
+        dmax: clamp for the successor delta (kx for the xwin use).
+        tile: diagonal tile size D.
+    Returns:
+        (rank [m] int32 in [0, n], d0 [m] int32 in [0, dmax]).
+    """
+    n = sorted_ids.shape[0]
+    m = sorted_queries.shape[0]
+    D = int(tile)
+    pad = dmax + 1
+    n_tiles = -(-(n + m) // D)
+
+    # clamp values once so sentinel arithmetic stays in-range (exact hits on
+    # the clamped sentinel give d0=0 like the packed sort; callers mask)
+    tbl = jnp.minimum(sorted_ids, _PACK_CAP)
+    qs_v = jnp.minimum(sorted_queries, _PACK_CAP)
+    # table window slices need D + pad entries; pad the table high
+    tbl_pad = jnp.concatenate([tbl, jnp.full((D + pad,), _PACK_CAP, jnp.int32)])
+    q_pad = jnp.concatenate([qs_v, jnp.full((D,), _PACK_CAP, jnp.int32)])
+
+    # merge-path boundaries: for diagonal d = tau*D, the number of queries
+    # consumed q_off satisfies queries[q_off-1] <= table[d-q_off] with ties
+    # taken from the query side ('left' rank semantics). Vectorized binary
+    # search over all tile boundaries at once.
+    taus = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    diag = jnp.minimum(taus * D, n + m)
+    lo = jnp.maximum(diag - n, 0)
+    hi = jnp.minimum(diag, m)
+
+    def bs_body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi + 1) // 2  # candidate q_off
+        # take query mid-1 before table[diag-mid] iff q[mid-1] <= t[diag-mid]
+        q_prev = q_pad[jnp.maximum(mid - 1, 0)]
+        t_at = tbl_pad[jnp.clip(diag - mid, 0, n + D + pad - 1)]
+        ok = (mid == 0) | (q_prev <= t_at)
+        return (jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1))
+
+    steps = max(int(np.ceil(np.log2(max(m, 2)))) + 1, 1)
+    lo, hi = jax.lax.fori_loop(0, steps, bs_body, (lo, hi))
+    q_offs = lo  # [n_tiles+1] queries consumed before each tile boundary
+
+    rank_out = jnp.zeros((m + D,), jnp.int32)
+    d0_out = jnp.zeros((m + D,), jnp.int32)
+
+    def tile_body(carry, tau):
+        rank_out, d0_out = carry
+        q_off = q_offs[tau]
+        t_off = tau * D - q_off
+        qw = jax.lax.dynamic_slice(q_pad, (q_off,), (D,))
+        tw = jax.lax.dynamic_slice(tbl_pad, (jnp.maximum(t_off, 0),), (D + pad,))
+        # rank = t_off + #(window table < q); successor = min window t >= q
+        less = tw[None, :] < qw[:, None]          # [D, D+pad]
+        rel = jnp.sum(less, axis=1).astype(jnp.int32)
+        succ = jnp.min(jnp.where(~less, tw[None, :], _PACK_CAP), axis=1)
+        rank_t = jnp.clip(jnp.maximum(t_off, 0) + rel, 0, n)
+        d0_t = jnp.clip(succ - qw, 0, dmax).astype(jnp.int32)
+        rank_out = jax.lax.dynamic_update_slice(rank_out, rank_t, (q_off,))
+        d0_out = jax.lax.dynamic_update_slice(d0_out, d0_t, (q_off,))
+        return (rank_out, d0_out), 0
+
+    (rank_out, d0_out), _ = jax.lax.scan(
+        tile_body, (rank_out, d0_out), jnp.arange(n_tiles, dtype=jnp.int32)
+    )
+    return rank_out[:m], d0_out[:m]
+
+
 def lookup(grid: SparseGrid, query_flat: jnp.ndarray) -> jnp.ndarray:
     """Find positions of query flat-ids in the grid. Misses -> N (one-past-end).
 

@@ -286,3 +286,79 @@ def test_encoder_rel_falls_back_beyond_pack_cap():
     v = enc.init(jax.random.PRNGKey(0), feats, g, False)
     out = enc.apply(v, feats, g, False)
     assert np.isfinite(np.asarray(out)).all()
+
+
+class TestMergePathRanks:
+    """Sort-free merge-path ranks vs the packed rank sort (exact parity)."""
+
+    def _check(self, ids, queries, dmax=3, tile=64):
+        ids = jnp.asarray(np.asarray(ids, np.int32))
+        queries = jnp.asarray(np.asarray(queries, np.int32))
+        r_ref, d_ref = sparse._rank_and_succ_delta(ids, queries, dmax)
+        r_mp, d_mp = sparse.merge_path_ranks(ids, queries, dmax, tile=tile)
+        np.testing.assert_array_equal(np.asarray(r_mp), np.asarray(r_ref))
+        np.testing.assert_array_equal(np.asarray(d_mp), np.asarray(d_ref))
+
+    def test_small_handmade(self):
+        ids = [3, 5, 6, 9, sparse.INT32_MAX]
+        qs = [0, 3, 4, 6, 7, 9, 10, sparse.INT32_MAX]
+        self._check(ids, qs, tile=4)
+
+    @pytest.mark.parametrize("tile", [16, 64, 1024])
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_parity(self, tile, seed):
+        rng = np.random.RandomState(seed)
+        n_real, n_cap = 300, 384
+        ids = np.sort(rng.choice(5000, n_real, replace=False)).astype(np.int32)
+        ids = np.concatenate([ids, np.full(n_cap - n_real, sparse.INT32_MAX, np.int32)])
+        # sorted query stream: shifted ids (the subm per-group pattern) with
+        # sentinels at the end, like a masked grid would produce
+        qs = np.sort(
+            np.concatenate([
+                ids[:n_real] + rng.randint(-3, 4, n_real),
+                rng.choice(5200, 100),
+            ])
+        ).astype(np.int32)
+        qs = np.concatenate([qs, np.full(17, sparse.INT32_MAX, np.int32)])
+        self._check(ids, qs, tile=tile)
+
+    def test_dense_collision_run(self):
+        """A dense run of consecutive ids against spread queries (the case
+        that breaks naive fixed-window schemes)."""
+        ids = np.arange(1000, 1200, dtype=np.int32)
+        qs = np.asarray([0, 500, 1000, 1050, 1100, 1199, 1200, 4000], np.int32)
+        self._check(ids, qs, tile=8)
+
+    def test_subm_group_equivalence(self):
+        """Building the xwin relation per group via merge_path_ranks matches
+        neighbor_xwin_info (packed sort) on a random grid."""
+        rng = np.random.RandomState(9)
+        g = random_grid(rng)
+        k, s, p = SUBM
+        ref = sparse.neighbor_xwin_info(g, g.coords, g.mask, k, s, p)
+        kx = k[-1]
+        n = g.flat_ids.shape[0]
+        strides = sparse._strides_of(g.spatial_shape)
+        group_offs = sparse.kernel_offsets(k[:-1])
+        rows_cols = []
+        for gi in range(group_offs.shape[0]):
+            # per-group queries MUST stay sorted: pure id arithmetic
+            # (ids + delta_g, with padding rows pinned at the sentinel);
+            # bounds validity is applied AFTER the rank computation —
+            # out-of-range aliases get masked exactly like xvalid wraps
+            pad_off = 0
+            delta = 0
+            valid = g.mask
+            for a in range(3):
+                q = g.coords[:, a] + int(group_offs[gi, a]) - p[a]
+                valid = valid & (q >= 0) & (q < g.spatial_shape[a])
+                delta += (int(group_offs[gi, a]) - p[a]) * int(strides[a])
+            delta -= p[3]
+            q0 = jnp.where(
+                g.mask, g.flat_ids + delta, sparse.INT32_MAX
+            ).astype(jnp.int32)
+            rank, d0 = sparse.merge_path_ranks(g.flat_ids, q0, kx, tile=64)
+            hit = valid & (d0 < kx) & (rank < n)
+            rows_cols.append(jnp.where(hit, rank * kx + d0, n * kx))
+        rows = jnp.stack(rows_cols, axis=1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(rows), np.asarray(ref.rows))
