@@ -42,19 +42,24 @@ def main():
     ids_j = jnp.asarray(ids)
     deltas = jnp.asarray(rng.randint(-2000, 2000, 9), jnp.int32)
 
+    def dep(c):
+        # non-foldable carry dependency: (c*0) constant-folds for ints and
+        # lets XLA hoist the whole body out of the timing loop
+        return jnp.where(c > 1e30, 1, 0).astype(jnp.int32)
+
     def one_group_sort(c, t):
-        q = t + (c * 0).astype(jnp.int32) + 7
+        q = t + dep(c) + 7
         r, d = sparse._rank_and_succ_delta(t, q, 3)
         return c + r[0].astype(jnp.float32) + d[0].astype(jnp.float32)
 
     def one_group_mp(c, t):
-        q = t + (c * 0).astype(jnp.int32) + 7
+        q = t + dep(c) + 7
         r, d = sparse.merge_path_ranks(t, q, 3, tile=1024)
         return c + r[0].astype(jnp.float32) + d[0].astype(jnp.float32)
 
     def nine_groups_sort(c, t):
         # the production pattern: ONE sort over all 9 groups' queries
-        qs = (t[None, :] + deltas[:, None] + (c * 0).astype(jnp.int32)).reshape(-1)
+        qs = (t[None, :] + deltas[:, None] + dep(c)).reshape(-1)
         qs = jnp.sort(qs)  # concatenated groups are not sorted; sort path packs anyway
         r, d = sparse._rank_and_succ_delta(t, qs, 3)
         return c + r[0].astype(jnp.float32) + d[0].astype(jnp.float32)
@@ -62,7 +67,7 @@ def main():
     def nine_groups_mp(c, t):
         acc = c
         for g in range(9):
-            q = t + deltas[g] + (c * 0).astype(jnp.int32)
+            q = t + deltas[g] + dep(c)
             r, d = sparse.merge_path_ranks(t, q, 3, tile=1024)
             acc = acc + r[0].astype(jnp.float32) + d[0].astype(jnp.float32)
         return acc
