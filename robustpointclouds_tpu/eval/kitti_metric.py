@@ -10,8 +10,10 @@ Protocol (official KITTI object devkit, 40 recall points):
   * per class & difficulty: GTs filtered by difficulty; harder GTs and
     same-class "ignored" neighbors (Van for Car, Person_sitting for
     Pedestrian) neither count as FN nor penalize matched detections
-  * score thresholds sampled from matched-detection scores at 40 recall
-    positions; precision = max precision at recall >= r, averaged.
+  * score thresholds from the devkit's recall-cursor walk over matched
+    detection scores (getThresholds — exact transcription, including its
+    small-sample behavior); one precision slot per threshold, right-max
+    smoothed, summed over slots 1..40 and divided by 40 (get_mAP_R40).
 
 Image-plane protocol pieces (when calib + GT 2D boxes are supplied, e.g. by
 data/kitti.kitti_val_loader metas):
@@ -185,67 +187,79 @@ def _compute_statistics(
     dc_ioa: Optional[np.ndarray] = None,
     sim: Optional[np.ndarray] = None,
 ):
-    """One image, one threshold: devkit/mmdet3d matching semantics.
+    """One image, one threshold: faithful transcription of the devkit /
+    mmdet3d `compute_statistics` matching state machine.
 
-    dt_valid == False marks IGNORED detections (projected 2D height below the
-    difficulty's minimum): they may still absorb a counted GT (assigned, no
-    TP and no FN — the devkit's ignored-detection fallback), and are never
-    FPs. In the threshold-collection pass (compute_fp=False) the devkit picks
-    the highest-SCORE detection above min_overlap; in the PR pass it picks
-    the highest-OVERLAP one. dc_ioa [n_dt]: max intersection-over-detection-
-    area vs DontCare regions; unassigned detections above min_overlap there
-    are not FPs (mmdet3d applies this to the image-plane metric only).
-    sim [n_dt, n_gt]: orientation similarity — matched TPs accumulate it.
+    Semantics pinned by tests/test_kitti_ap_golden.py:
+      * ALL non-excluded GTs (counted AND ignored) are matched greedily in
+        annotation order — an ignored GT absorbs (assigns) its best
+        detection, so that detection is neither TP nor FP.
+      * Pass 1 (compute_fp=False, threshold collection): the best detection
+        is the highest-SCORE one above min_overlap, valid or min-height-
+        ignored; only (counted GT, valid det) pairs append a threshold.
+      * Pass 2 (compute_fp=True): valid detections compete by OVERLAP and
+        always displace an ignored-det assignment; an ignored det is the
+        fallback when no valid det matches. TP only for (counted, valid);
+        FN only for counted GTs with no assignment at all.
+      * FPs = unassigned valid detections above the score threshold, minus
+        those absorbed by DontCare regions (image-plane metric only,
+        intersection-over-detection-area > min_overlap), which also become
+        assigned as they absorb.
+
+    dt_valid == False marks IGNORED detections (projected 2D height below
+    the difficulty's minimum). sim [n_dt, n_gt]: orientation similarity —
+    matched TPs accumulate it.
     """
     n_dt, n_gt = iou.shape
     assigned = np.zeros(n_dt, bool)
-    ignored_det = np.zeros(n_dt, bool)
     tp = fp = fn = 0
     sim_sum = 0.0
     thresholds = []
+    below_thresh = dt_scores < thresh
+    NO_DET = -10.0
     for j in range(n_gt):
-        if gt_care[j] != 0:
+        if gt_care[j] == -1:
             continue
         det_idx = -1
-        found_valid = False
-        best = min_overlap if compute_fp else -np.inf  # overlap vs score race
+        valid_detection = NO_DET
+        max_overlap = 0.0
+        assigned_ignored_det = False
         for i in range(n_dt):
-            if assigned[i] or dt_scores[i] < thresh:
+            if assigned[i] or below_thresh[i]:
                 continue
             o = iou[i, j]
             if o <= min_overlap:
                 continue
-            if dt_valid[i]:
-                crit = o if compute_fp else dt_scores[i]
-                if not found_valid or crit > best:
-                    best = crit
+            if not compute_fp:
+                if dt_scores[i] > valid_detection:
                     det_idx = i
-                    found_valid = True
-            elif compute_fp and not found_valid and det_idx < 0:
-                det_idx = i  # ignored-det fallback: absorbs the GT
-        if found_valid:
+                    valid_detection = dt_scores[i]
+            elif dt_valid[i] and (o > max_overlap or assigned_ignored_det):
+                max_overlap = o
+                det_idx = i
+                valid_detection = 1.0
+                assigned_ignored_det = False
+            elif (not dt_valid[i]) and valid_detection == NO_DET:
+                det_idx = i
+                valid_detection = 1.0
+                assigned_ignored_det = True
+        if valid_detection == NO_DET:
+            if gt_care[j] == 0:
+                fn += 1
+        elif gt_care[j] == 1 or not dt_valid[det_idx]:
+            assigned[det_idx] = True  # absorbed: no TP, no FP, no FN
+        else:
             tp += 1
             assigned[det_idx] = True
             thresholds.append(dt_scores[det_idx])
             if sim is not None:
                 sim_sum += float(sim[det_idx, j])
-        elif det_idx >= 0:
-            assigned[det_idx] = True  # matched by ignored det: no TP, no FN
-        else:
-            fn += 1
     if compute_fp:
-        # detections matching ignored GTs are not FPs
-        for i in range(n_dt):
-            if not dt_valid[i] or assigned[i] or dt_scores[i] < thresh:
-                continue
-            for j in range(n_gt):
-                if gt_care[j] == 1 and iou[i, j] > min_overlap:
-                    ignored_det[i] = True
-                    break
-        fp_mask = dt_valid & ~assigned & ~ignored_det & (dt_scores >= thresh)
-        if dc_ioa is not None and len(dc_ioa) == n_dt:
-            fp_mask = fp_mask & ~(dc_ioa > min_overlap)
+        fp_mask = dt_valid & ~assigned & ~below_thresh
         fp = int(np.sum(fp_mask))
+        if dc_ioa is not None and len(dc_ioa) == n_dt:
+            absorbed = fp_mask & (dc_ioa > min_overlap)
+            fp -= int(np.sum(absorbed))
     return tp, fp, fn, thresholds, sim_sum
 
 
@@ -334,55 +348,61 @@ def eval_kitti_ap(
                 results[key] = 0.0
                 continue
 
-            # pass 1: matched scores at threshold -inf -> recall thresholds.
-            # For each of the 40 recall sample points r_i, the score threshold
-            # is the score of the ceil(r_i * total_gt)-th best matched
-            # detection. (The devkit walks matched scores and advances a
-            # recall cursor — identical in the large-sample limit, but exact
-            # here for small fixture sets too.)
+            # pass 1: matched scores at threshold -inf, then the devkit's
+            # recall-cursor threshold walk (kitti devkit getThresholds /
+            # mmdet3d kitti_eval.get_thresholds — EXACT transcription,
+            # including its small-sample behavior where few matched scores
+            # fill few of the 41 precision slots)
             all_scores: List[float] = []
             for e, care, valid in zip(usable, gt_cares, dt_valids):
                 _, _, _, ts, _ = _compute_statistics(
                     e[0], e[1], care, valid, min_overlap, -np.inf, False
                 )
                 all_scores.extend(ts)
-            all_scores = np.sort(np.asarray(all_scores))[::-1]
+            thresholds = _devkit_thresholds(all_scores, total_gt)
 
-            sample_thresholds = np.full(_N_SAMPLE_PTS, np.nan)
-            for i in range(1, _N_SAMPLE_PTS):
-                r = i / (_N_SAMPLE_PTS - 1)
-                needed = int(np.ceil(r * total_gt - 1e-9))
-                if 0 < needed <= len(all_scores):
-                    sample_thresholds[i] = all_scores[needed - 1]
-
-            # pass 2: pr curve at the unique sampled thresholds
+            # pass 2: pr curve, one precision slot per threshold index
+            # (unfilled slots stay 0 like the devkit's zero-initialized
+            # precision array)
             precisions = np.zeros(_N_SAMPLE_PTS)
-            prec_cache: Dict[float, float] = {}
-            for i in range(1, _N_SAMPLE_PTS):
-                t = sample_thresholds[i]
-                if np.isnan(t):
-                    continue
-                if t not in prec_cache:
-                    tp = fp = fn = 0
-                    sim_total = 0.0
-                    for e, care, valid in zip(usable, gt_cares, dt_valids):
-                        tpi, fpi, fni, _, simi = _compute_statistics(
-                            e[0], e[1], care, valid, min_overlap, t, True,
-                            dc_ioa=e[4], sim=e[5],
-                        )
-                        tp += tpi
-                        fp += fpi
-                        fn += fni
-                        sim_total += simi
-                    num = sim_total if metric == "aos" else float(tp)
-                    prec_cache[t] = num / max(tp + fp, 1)
-                precisions[i] = prec_cache[t]
-            # right-max smoothing
+            for i, t in enumerate(thresholds):
+                tp = fp = fn = 0
+                sim_total = 0.0
+                for e, care, valid in zip(usable, gt_cares, dt_valids):
+                    tpi, fpi, fni, _, simi = _compute_statistics(
+                        e[0], e[1], care, valid, min_overlap, t, True,
+                        dc_ioa=e[4], sim=e[5],
+                    )
+                    tp += tpi
+                    fp += fpi
+                    fn += fni
+                    sim_total += simi
+                num = sim_total if metric == "aos" else float(tp)
+                precisions[i] = num / max(tp + fp, 1)
+            # right-max smoothing over all 41 slots (devkit)
             for i in range(_N_SAMPLE_PTS - 2, -1, -1):
                 precisions[i] = max(precisions[i], precisions[i + 1])
-            # R40: average over sample points 1..40 (skip recall 0)
-            results[key] = float(np.mean(precisions[1:]) * 100.0)
+            # R40: average over slots 1..40 (skip slot 0 = recall 0)
+            results[key] = float(np.sum(precisions[1:]) / 40.0 * 100.0)
     return results
+
+
+def _devkit_thresholds(scores: Sequence[float], num_gt: int) -> List[float]:
+    """The devkit's getThresholds: walk matched scores descending, keep a
+    score as a threshold whenever skipping it would move recall further from
+    the current 1/40-spaced recall cursor than taking it."""
+    scores = np.sort(np.asarray(scores, np.float64))[::-1]
+    thresholds: List[float] = []
+    current_recall = 0.0
+    for i, score in enumerate(scores):
+        l_recall = (i + 1) / num_gt
+        r_recall = (i + 2) / num_gt if i < len(scores) - 1 else l_recall
+        if ((r_recall - current_recall) < (current_recall - l_recall)
+                and i < len(scores) - 1):
+            continue
+        thresholds.append(float(score))
+        current_recall += 1.0 / (_N_SAMPLE_PTS - 1.0)
+    return thresholds
 
 
 class KittiMetric:
