@@ -256,6 +256,8 @@ def evaluate_centerpoint(trainer, state, batches, attack: bool = False):
             }
             if vel is not None:
                 gt["vel"] = np.asarray(vel[b])[gm]
+            if metas is not None and metas[b].get("gt_attrs") is not None:
+                gt["attrs"] = np.asarray(metas[b]["gt_attrs"])[gm]
             gts.append(gt)
             dts.append({
                 "boxes_3d": np.asarray(boxes[b])[dm],

@@ -147,8 +147,14 @@ class NuScenesDataset:
         sweeps = self._load_sweeps(info, key_ts)
         if sweeps:
             pts = np.concatenate([pts] + sweeps, axis=0)
-        # annotations: mmdet3d v2 'instances' or v1 'gt_boxes'/'gt_names'
-        boxes, labels, vel = [], [], []
+        # annotations: mmdet3d v2 'instances' or v1 'gt_boxes'/'gt_names'.
+        # Attributes (the devkit's 5th TP metric, AAE) ride as 'attr_label'
+        # ints in v2 instances (mmdet3d nuscenes_converter nus_attributes
+        # order == eval.nuscenes_metric.ATTRIBUTES) or 'gt_attrs' name
+        # strings in v1-style infos; absent -> the no-attribute sentinel.
+        from ..eval.nuscenes_metric import ATTRIBUTES, ATTR_NONE, _ATTR_TO_ID
+
+        boxes, labels, vel, attrs = [], [], [], []
         if "instances" in info:
             for inst in info["instances"]:
                 b = np.asarray(inst["bbox_3d"], np.float32)
@@ -160,21 +166,26 @@ class NuScenesDataset:
                 boxes.append([b[0], b[1], center_z, b[3], b[4], b[5], b[6]])
                 vel.append(b[7:9] if len(b) >= 9 else np.zeros(2, np.float32))
                 labels.append(name_id)
+                a = inst.get("attr_label", ATTR_NONE)
+                attrs.append(a if 0 <= a < len(ATTRIBUTES) else ATTR_NONE)
         else:
             names = info.get("gt_names", [])
             gtb = np.asarray(info.get("gt_boxes", np.zeros((0, 7))), np.float32)
             gtv = np.asarray(info.get("gt_velocity", np.zeros((len(gtb), 2))), np.float32)
-            for b, name, v in zip(gtb, names, gtv):
+            gta = info.get("gt_attrs", [None] * len(gtb))
+            for b, name, v, a in zip(gtb, names, gtv, gta):
                 if name not in _CLS_TO_ID:
                     continue
                 boxes.append([b[0], b[1], b[2] + b[5] / 2.0, b[3], b[4], b[5], b[6]])
                 vel.append(np.nan_to_num(v))
                 labels.append(_CLS_TO_ID[name])
+                attrs.append(_ATTR_TO_ID.get(a, ATTR_NONE))
         return {
             "points": pts,
             "gt_boxes": np.asarray(boxes, np.float32).reshape(-1, 7),
             "gt_labels": np.asarray(labels, np.int32),
             "gt_vel": np.asarray(vel, np.float32).reshape(-1, 2),
+            "gt_attrs": np.asarray(attrs, np.int32),
         }
 
 
@@ -224,6 +235,8 @@ def augment_nuscenes_sample(sample: Dict, rng: np.random.RandomState, pcr) -> Di
     out["gt_boxes"] = boxes[bm]
     out["gt_labels"] = sample["gt_labels"][bm]
     out["gt_vel"] = vel[bm]
+    if "gt_attrs" in sample:
+        out["gt_attrs"] = sample["gt_attrs"][bm]
     return out
 
 
@@ -244,6 +257,8 @@ def _filter_range_nus(sample: Dict, pcr) -> Dict:
     out["gt_boxes"] = boxes[bm]
     out["gt_labels"] = sample["gt_labels"][bm]
     out["gt_vel"] = sample["gt_vel"][bm]
+    if "gt_attrs" in sample:
+        out["gt_attrs"] = sample["gt_attrs"][bm]
     return out
 
 
@@ -329,7 +344,16 @@ def nuscenes_val_loader(
         n_real = len(samples)
         while len(samples) < batch_size:
             samples.append(samples[-1])
-        metas = [{"valid": b_i < n_real} for b_i in range(batch_size)]
+        from ..eval.nuscenes_metric import ATTR_NONE
+
+        metas = []
+        for b_i in range(batch_size):
+            attrs = np.full(max_gt, ATTR_NONE, np.int32)
+            sa = samples[b_i].get("gt_attrs")
+            if sa is not None:
+                g = min(len(sa), max_gt)
+                attrs[:g] = sa[:g]
+            metas.append({"valid": b_i < n_real, "gt_attrs": attrs})
         b, vel = _pad_nus_batch(samples, num_points, max_gt, rng)
         yield PointCloudBatch(*(jnp.asarray(x) for x in b)), jnp.asarray(vel), metas
 

@@ -133,11 +133,15 @@ class TestLoaders:
 
 
 class TestFullNDS:
-    def _frame(self, dt_offset=0.0, size_scale=1.0, yaw_off=0.0, vel_off=0.0):
+    def _frame(self, dt_offset=0.0, size_scale=1.0, yaw_off=0.0, vel_off=0.0,
+               gt_attr=5):
+        # class 0 = car, vel (1, 0) -> speed > 0.2 -> the mmdet3d detection
+        # rule assigns 'vehicle.moving' (ATTRIBUTES[5]); gt_attr 5 matches
         gt = [{
             "boxes_3d": np.array([[0, 0, 0, 4, 2, 1.5, 0.0]], np.float32),
             "labels": np.array([0]),
             "vel": np.array([[1.0, 0.0]], np.float32),
+            "attrs": np.array([gt_attr], np.int32),
         }]
         dt = [{
             "boxes_3d": np.array(
@@ -179,6 +183,54 @@ class TestFullNDS:
         gt, dt = self._frame(dt_offset=1.0)
         res = eval_nuscenes_map(gt, dt, CLASSES)
         assert res["mATE"] == pytest.approx(1.0, abs=1e-5)
+
+    def test_attribute_error_zero_when_matching(self):
+        gt, dt = self._frame()  # gt 'vehicle.moving' == derived dt attr
+        res = eval_nuscenes_map(gt, dt, CLASSES)
+        assert res["mAAE"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_attribute_error_counts_mismatch(self):
+        gt, dt = self._frame(gt_attr=6)  # gt 'vehicle.parked' vs dt 'moving'
+        res = eval_nuscenes_map(gt, dt, CLASSES)
+        assert res["mAAE"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_nds_is_devkit_formula_with_five_tp_metrics(self):
+        gt, dt = self._frame(size_scale=0.8, gt_attr=6)
+        res = eval_nuscenes_map(gt, dt, CLASSES)
+        tp_score = sum(
+            max(1.0 - min(res[k], 1.0), 0.0)
+            for k in ("mATE", "mASE", "mAOE", "mAVE", "mAAE")
+        )
+        want = (5 * res["mAP"] / 100.0 + tp_score) / 10.0 * 100.0
+        assert res["NDS"] == pytest.approx(want, abs=1e-9)
+
+    def test_missing_attrs_score_worst_case(self):
+        # no gt attrs anywhere: mAAE = devkit worst case 1.0, NOT renormalized
+        gt, dt = self._frame()
+        gt[0].pop("attrs")
+        res = eval_nuscenes_map(gt, dt, CLASSES)
+        assert res["mAAE"] == 1.0
+        assert res["NDS"] == pytest.approx(
+            (5 * res["mAP"] / 100.0 + 4.0) / 10.0 * 100.0, abs=1e-6)
+
+    def test_detection_attr_rule(self):
+        from robustpointclouds_tpu.eval.nuscenes_metric import (
+            ATTRIBUTES, default_detection_attrs)
+
+        moving = np.array([[1.0, 0.0]])
+        still = np.array([[0.0, 0.0]])
+        a = default_detection_attrs("car", moving, 1)
+        assert ATTRIBUTES[a[0]] == "vehicle.moving"
+        a = default_detection_attrs("car", still, 1)
+        assert ATTRIBUTES[a[0]] == "vehicle.parked"
+        a = default_detection_attrs("bicycle", moving, 1)
+        assert ATTRIBUTES[a[0]] == "cycle.with_rider"
+        a = default_detection_attrs("pedestrian", still, 1)
+        assert ATTRIBUTES[a[0]] == "pedestrian.standing"
+        a = default_detection_attrs("bus", still, 1)
+        assert ATTRIBUTES[a[0]] == "vehicle.stopped"
+        a = default_detection_attrs("barrier", still, 1)
+        assert ATTRIBUTES[a[0]] == "None"
 
 
 def test_native_sweep_load_matches_numpy(nus_root):
