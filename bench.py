@@ -5,9 +5,14 @@ Runs the flagship AdversarialVoxelNet (full KITTI-scale SECOND architecture,
 whatever accelerator is attached and prints ONE JSON line.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the denominator
-is the reference recipe's estimated single-GPU adversarial training throughput
-(batch 6 SECOND + VoxelPerturber ~= 12 frames/s on the class of GPU the repo
-targets — spconv-bound). The BASELINE.json north star is 5x that.
+is derived from mmdet3d's published training logs for the exact base config
+the reference wraps (second_hv_secfpn_8xb6-80e: ~0.4 s/iter at per-GPU batch
+6 on V100 => ~15 f/s/GPU clean), minus the adversary's added cost on up to
+96k perturbed point rows (~20-25%) => ~12 f/s/GPU adversarial. Full
+derivation in BASELINE.md. The BASELINE.json north star is 5x that.
+
+Also reports an auditable MFU (VERDICT r2 weak #2): XLA's compiled-module
+FLOP estimate per step divided by measured step time and the v5e bf16 peak.
 """
 from __future__ import annotations
 
@@ -72,6 +77,15 @@ def main():
         return st, losses
 
     run = jax.jit(scan_steps, donate_argnums=(0,))
+    # XLA's own FLOP estimate for the compiled module -> auditable MFU
+    flops_per_step = None
+    try:
+        cost = run.lower(state, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0)) / iters
+    except Exception:
+        pass
     state2, losses = run(state, batch)
     jax.block_until_ready(losses)  # warmup/compile
     t0 = time.time()
@@ -84,16 +98,18 @@ def main():
     fps = batch_size * iters / dt
     n_chips = max(len(jax.devices()), 1)
     fps_per_chip = fps / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "kitti_adv_train_frames_per_sec_per_chip",
-                "value": round(fps_per_chip, 3),
-                "unit": "frames/s/chip",
-                "vs_baseline": round(fps_per_chip / REFERENCE_FPS_ESTIMATE, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "kitti_adv_train_frames_per_sec_per_chip",
+        "value": round(fps_per_chip, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps_per_chip / REFERENCE_FPS_ESTIMATE, 3),
+    }
+    if flops_per_step:
+        # v5e peak: 197 TFLOP/s bf16 per chip
+        step_time = dt / iters
+        record["mfu"] = round(flops_per_step / step_time / 197e12, 4)
+        record["step_tflops"] = round(flops_per_step / 1e12, 3)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -66,6 +66,29 @@ class MetricsLogger:
             for i, n in enumerate(self.l2_norms):
                 pct = self.l2_percentages[i] if i < len(self.l2_percentages) else 0.0
                 w.writerow([n, pct, 0.0])
+        # detailed companion (reference voxel_perturber.py:421-426 writes a
+        # *_detailed.csv with the per-step perturbation statistics)
+        detailed = [
+            r for r in self.rows if "perturbation_l2_norm" in r
+        ]
+        if detailed:
+            fields = [
+                "l2_norm", "l2_percentage", "max_perturbation",
+                "mean_perturbation", "std_perturbation", "constraint_violation",
+            ]
+            dpath = path.replace(".csv", "_detailed.csv")
+            with open(dpath, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=fields)
+                w.writeheader()
+                for r in detailed:
+                    w.writerow({
+                        "l2_norm": r.get("perturbation_l2_norm", 0.0),
+                        "l2_percentage": r.get("l2_percentage", 0.0),
+                        "max_perturbation": r.get("max_perturbation", 0.0),
+                        "mean_perturbation": r.get("mean_perturbation", 0.0),
+                        "std_perturbation": r.get("std_perturbation", 0.0),
+                        "constraint_violation": 0.0,
+                    })
         return path
 
     def save_history(self, filename: str = "train_log.jsonl"):

@@ -111,7 +111,12 @@ def _evaluate(work_dir, args, attack: bool):
             "refusing to score a random init (--allow-random-init for smoke)"
         )
 
-    return evaluate_centerpoint(trainer, state, batches, attack=attack)
+    metrics = evaluate_centerpoint(trainer, state, batches, attack=attack)
+    if use_synth:
+        # a synthetic-scene score must never read as a real NuScenes number
+        # (VERDICT r2): shout it in every result key
+        metrics = {f"SYNTHETIC_{k}": v for k, v in metrics.items()}
+    return metrics
 
 
 def main():
@@ -140,7 +145,15 @@ def main():
     print("\n" + "=" * 60 + "\nSUMMARY")
     for name, res in results.items():
         status = "SUCCESS" if res is not None else "FAILED"
-        extra = f" mAP={res['mAP']:.2f} NDS~={res['NDS_simplified']:.2f}" if res else ""
+        extra = ""
+        if res:
+            synth = any(k.startswith("SYNTHETIC_") for k in res)
+            get = (lambda k: res.get("SYNTHETIC_" + k, res.get(k, 0.0)))
+            tag = " [SYNTHETIC DATA]" if synth else ""
+            nds = res.get("NDS", res.get("SYNTHETIC_NDS"))
+            if nds is None:
+                nds = get("NDS_simplified")
+            extra = f" mAP={get('mAP'):.2f} NDS={nds:.2f}{tag}"
         print(f"  {name}: {status}{extra}")
     return results
 

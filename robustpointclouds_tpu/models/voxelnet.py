@@ -166,6 +166,8 @@ class AdversarialVoxelNet(nn.Module):
             "bias_loss": jnp.float32(0.0),
             "imbalance_loss": jnp.float32(0.0),
             "max_perturbation": jnp.float32(0.0),
+            "mean_perturbation": jnp.float32(0.0),
+            "std_perturbation": jnp.float32(0.0),
         }
         if self.adversary is not None and (train or attack):
             b, v, t, f = voxels.shape
@@ -256,5 +258,7 @@ def adversary_direct_terms(
         # (voxel_perturber.py:411-432)
         "l2_percentage": jax.lax.stop_gradient(adv_aux.get("l2_percentage", jnp.float32(0.0))),
         "max_perturbation": jax.lax.stop_gradient(adv_aux.get("max_perturbation", jnp.float32(0.0))),
+        "mean_perturbation": jax.lax.stop_gradient(adv_aux.get("mean_perturbation", jnp.float32(0.0))),
+        "std_perturbation": jax.lax.stop_gradient(adv_aux.get("std_perturbation", jnp.float32(0.0))),
     }
     return total, logs

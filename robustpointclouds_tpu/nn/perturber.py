@@ -101,13 +101,24 @@ def perturbation_losses(
     )
     std_per_dim = jnp.sqrt(var_per_dim + 1e-12)
     imbalance = jnp.std(std_per_dim)
+    abs_pert = jnp.abs(perturbations) * m[:, None]
+    mean_abs = jnp.sum(abs_pert) / (count * nf)
+    # std over all valid perturbation entries (reference _track_metrics,
+    # voxel_perturber.py:388-409, feeds the _detailed.csv companion)
+    mean_all = jnp.sum(perturbations * m[:, None]) / (count * nf)
+    std_all = jnp.sqrt(
+        jnp.sum(((perturbations - mean_all) * m[:, None]) ** 2) / (count * nf)
+        + 1e-12
+    )
     return {
         "l2_norm": l2_norm,
         "l2_percentage": l2_percentage,
         "intensity_loss": intensity,
         "bias_loss": bias,
         "imbalance_loss": imbalance,
-        "max_perturbation": jnp.max(jnp.abs(perturbations * m[:, None])),
+        "max_perturbation": jnp.max(abs_pert),
+        "mean_perturbation": mean_abs,
+        "std_perturbation": std_all,
     }
 
 

@@ -147,10 +147,6 @@ class Trainer:
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
-        mask = split_adversary_mask(params)
-        det_params = jax.tree_util.tree_map(
-            lambda p, m: jnp.zeros_like(p) if m else p, params, mask
-        )
         return TrainState(
             params=params,
             batch_stats=batch_stats,
