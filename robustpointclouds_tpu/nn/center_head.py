@@ -59,15 +59,17 @@ class _SeparateHead(nn.Module):
 
 class _DCNAdapt(nn.Module):
     """Deformable feature adaptation: DCN 3x3 -> BN -> ReLU (mmdet3d
-    DCNSeparateHead's feature_adapt_{cls,reg})."""
+    DCNSeparateHead's feature_adapt_{cls,reg}; its dcn_config uses
+    groups=4, so the zoo checkpoint's grouped weights load exactly)."""
 
     channels: int = 64
+    groups: int = 4
 
     @nn.compact
     def __call__(self, x, train: bool):
         from .deform_conv import DeformConv2d
 
-        x = DeformConv2d(self.channels, name="dcn")(x)
+        x = DeformConv2d(self.channels, groups=self.groups, name="dcn")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-3, name="bn")(x)
         return nn.relu(x)

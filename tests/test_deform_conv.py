@@ -90,3 +90,94 @@ def test_dcn_center_head_shapes():
     # DCN adapters present in the param tree
     assert "task0_adapt_cls" in vars_["params"]
     assert "dcn" in vars_["params"]["task0_adapt_cls"]
+
+
+def test_grouped_dcn_zero_offsets_equals_grouped_conv():
+    """groups=4 (the zoo DCN CenterHead config) at zero offsets must equal
+    lax's grouped convolution exactly."""
+    rng = np.random.RandomState(3)
+    g, c, cout = 4, 8, 12
+    x = jnp.asarray(rng.randn(2, 7, 9, c).astype(np.float32))
+    m = DeformConv2d(cout, groups=g)
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+
+    # rebuild the torch/HWIO grouped weight from the param layout
+    kern = np.asarray(params["params"]["kernel"])  # [g, K*(c/g), cout/g]
+    cg, og = c // g, cout // g
+    hwio = np.zeros((3, 3, cg, cout), np.float32)
+    for gi in range(g):
+        hwio[..., gi * og:(gi + 1) * og] = kern[gi].reshape(3, 3, cg, og)
+    ref = jax.lax.conv_general_dilated(
+        x, jnp.asarray(hwio), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=g,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_torch_grouped_weight_conversion():
+    """A synthetic torch-layout grouped DCN weight [Cout, Cin/g, 3, 3] must
+    convert to the param layout and reproduce torch's grouped conv at zero
+    offsets (VERDICT r2 task 7)."""
+    from robustpointclouds_tpu.nn.deform_conv import torch_dcn_weight_to_params
+
+    rng = np.random.RandomState(4)
+    g, c, cout = 4, 8, 8
+    w_torch = rng.randn(cout, c // g, 3, 3).astype(np.float32)
+    x = jnp.asarray(rng.randn(1, 6, 6, c).astype(np.float32))
+
+    m = DeformConv2d(cout, groups=g)
+    params = m.init(jax.random.PRNGKey(0), x)
+    conv = torch_dcn_weight_to_params(w_torch, groups=g)
+    assert conv.shape == np.asarray(params["params"]["kernel"]).shape
+    params = jax.tree_util.tree_map(lambda v: v, params)
+    params["params"]["kernel"] = jnp.asarray(conv)
+    out = m.apply(params, x)
+
+    # torch grouped conv reference: OIHW -> HWIO blocks per group
+    hwio = np.zeros((3, 3, c // g, cout), np.float32)
+    og = cout // g
+    for gi in range(g):
+        blk = w_torch[gi * og:(gi + 1) * og]          # [og, c/g, 3, 3]
+        hwio[..., gi * og:(gi + 1) * og] = blk.transpose(2, 3, 1, 0)
+    ref = jax.lax.conv_general_dilated(
+        x, jnp.asarray(hwio), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=g,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_deform_groups_split_offsets():
+    """deform_groups=2: each channel half samples at its own offsets; with
+    group-0 offsets shifted (0, +1) and group-1 zero, channels split."""
+    rng = np.random.RandomState(5)
+    c = 4
+    x = jnp.asarray(rng.randn(1, 5, 7, c).astype(np.float32))
+    m = DeformConv2d(c, deform_groups=2)
+    params = m.init(jax.random.PRNGKey(0), x)
+    params = jax.tree_util.tree_map(lambda v: v, params)
+    K = 9
+    bias = np.zeros(2 * 2 * K, np.float32)
+    # deform group 0 (channel block [dg, K, (y, x)]): x offset +1 on all taps
+    bias.reshape(2, K, 2)[0, :, 1] = 1.0
+    params["params"]["conv_offset"]["bias"] = jnp.asarray(bias)
+    out = m.apply(params, x)
+
+    # reference: col from channels 0:2 sampled at x+1, channels 2:4 in place
+    x_shift = jnp.concatenate(
+        [jnp.roll(x[..., :2], -1, axis=2).at[:, :, -1, :].set(0.0), x[..., 2:]],
+        axis=-1,
+    )
+    m0 = DeformConv2d(c, deform_groups=2)
+    # zero offsets on the mixed input, same kernel
+    p0 = jax.tree_util.tree_map(lambda v: v, params)
+    p0["params"]["conv_offset"]["bias"] = jnp.zeros(2 * 2 * K)
+    ref = m0.apply(p0, x_shift)
+    # interior columns agree (border columns differ because true DCN samples
+    # beyond the roll's zero fill)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, 1:-1, 1:-2], np.asarray(ref)[:, 1:-1, 1:-2],
+        rtol=1e-4, atol=1e-4,
+    )
