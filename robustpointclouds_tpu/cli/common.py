@@ -262,12 +262,33 @@ def run_training(
     return {"state": state, "history": history, "work_dir": work_dir}
 
 
+def _tta_merge_fn(nms_thr: float):
+    """Merge original + unflipped-flip detections: concat, score-sort, and
+    class-aware rotated-BEV NMS (mmdet3d merge_aug_bboxes_3d semantics)."""
+    import jax.numpy as jnp
+
+    from ..ops import boxes as box_ops
+    from ..ops.nms import _suppression_sweep
+
+    def one(boxes, scores, labels, valid):
+        order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
+        b, s, l, v = boxes[order], scores[order], labels[order], valid[order]
+        bev = box_ops.boxes3d_to_bev(b)
+        iou = box_ops.rotated_bev_iou(bev, bev)
+        same = l[:, None] == l[None, :]
+        keep = _suppression_sweep(jnp.where(same, iou, 0.0), v, nms_thr)
+        return b, s, l, v & keep
+
+    return jax.jit(jax.vmap(one))
+
+
 def run_evaluation(
     trainer: Trainer,
     state,
     batches: Iterator[PointCloudBatch],
     attack: bool = False,
     dump_path: Optional[str] = None,
+    tta: bool = False,
 ) -> Dict[str, float]:
     """Clean or attack-mode evaluation -> KITTI AP dict.
 
@@ -277,6 +298,11 @@ def run_evaluation(
     dump_path: write per-frame detections (frame_id, boxes_3d, scores,
     labels) as a pickle — the reference's `pklfile_prefix` result dump
     (testUpdated.bat:12) used for offline analysis / KITTI submission prep.
+    tta=True runs the y-flip test-time augmentation: a second forward on the
+    mirrored cloud, detections unflipped and merged by class-aware rotated
+    NMS — the reference test pipeline's MultiScaleFlipAug3D with actual
+    flipping enabled (configs/_base_/kitti-3d-car.py:89-103 wraps the test
+    pipeline in it; the committed config runs it with flip=False).
     """
     # StrongTrainer wraps the base detector config under .base
     cfg = getattr(trainer.model_cfg, "base", trainer.model_cfg)
@@ -289,6 +315,7 @@ def run_evaluation(
     predict = jax.jit(
         lambda cls, box, d: anchor_head_predict(cls, box, d, trainer.anchors, head)
     )
+    merge = _tta_merge_fn(getattr(head, "nms_iou_threshold", 0.01)) if tta else None
     n = 0
     dumped = []
     for item in batches:
@@ -302,6 +329,21 @@ def run_evaluation(
             batch, metas = item
         outs = trainer.forward_eval(state, batch, attack=attack)
         boxes, scores, labels, mask = predict(outs.cls_scores, outs.bbox_preds, outs.dir_preds)
+        if tta:
+            flipped = batch._replace(
+                points=batch.points.at[..., 1].multiply(-1.0)
+            )
+            outs_f = trainer.forward_eval(state, flipped, attack=attack)
+            bf, sf, lf, mf = predict(
+                outs_f.cls_scores, outs_f.bbox_preds, outs_f.dir_preds
+            )
+            bf = bf.at[..., 1].multiply(-1.0).at[..., 6].multiply(-1.0)
+            boxes, scores, labels, mask = merge(
+                jnp.concatenate([boxes, bf], axis=1),
+                jnp.concatenate([scores, sf], axis=1),
+                jnp.concatenate([labels, lf], axis=1),
+                jnp.concatenate([mask, mf], axis=1),
+            )
         for b in range(batch.points.shape[0]):
             meta = metas[b] if metas is not None else {}
             if not meta.get("valid", True):

@@ -35,6 +35,9 @@ def parse_args():
     p.add_argument("--tiny", action="store_true", help="shrunken grid for smoke runs")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--limit", type=int, default=None, help="max val frames")
+    p.add_argument("--tta", action="store_true",
+                   help="y-flip test-time augmentation (MultiScaleFlipAug3D "
+                        "with flipping enabled)")
     p.add_argument("--dump-results", default=None, metavar="PKL",
                    help="write per-frame detections (the reference's "
                         "pklfile_prefix result dump)")
@@ -43,7 +46,8 @@ def parse_args():
 
 def evaluate_checkpoint(work_dir, data_root, batch_size, synthetic, limit,
                         attack=False, tiny=False, load_from=None,
-                        allow_random_init=False, dump_results=None):
+                        allow_random_init=False, dump_results=None,
+                        tta=False):
     import jax
 
     from ..data.structures import PointCloudBatch
@@ -114,7 +118,7 @@ def evaluate_checkpoint(work_dir, data_root, batch_size, synthetic, limit,
         )
 
     return run_evaluation(trainer, state, iter(batches), attack=attack,
-                          dump_path=dump_results)
+                          dump_path=dump_results, tta=tta)
 
 
 def main():
@@ -132,7 +136,7 @@ def main():
                 wd, args.data_root, args.batch_size, args.synthetic, args.limit,
                 tiny=args.tiny, load_from=args.load_from,
                 allow_random_init=args.allow_random_init,
-                dump_results=args.dump_results,
+                dump_results=args.dump_results, tta=args.tta,
             )
             print(json.dumps(results["clean"], indent=2))
         except Exception as e:  # keep the reference's per-mode SUCCESS/FAIL table
@@ -146,7 +150,7 @@ def main():
                 wd, args.data_root, args.batch_size, args.synthetic, args.limit,
                 tiny=args.tiny, load_from=args.load_from,
                 allow_random_init=args.allow_random_init,
-                dump_results=args.dump_results,
+                dump_results=args.dump_results, tta=args.tta,
             )
             print(json.dumps(results["adversarial"], indent=2))
         except Exception as e:

@@ -41,7 +41,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import sparse
+from ..ops import mp_conv, sparse
 from ..ops import subm_conv as subm_conv_ops
 from .layers import MaskedBatchNorm
 
@@ -51,6 +51,21 @@ _SUBM_KERNEL = (1, 3, 3, 3)  # batch axis has extent 1
 # v5e: 32ch still wins 1.45x (13.9 vs 20.2 ms fwd+bwd; 192 B rows stay
 # row-count-bound), 64ch loses 1.9x (384 B rows go byte-bound)
 XWIN_MAX_CIN = 32
+
+# merge-path Pallas kernel tile geometry (kernels/mp_gather.py)
+MP_TILE = 512
+MP_WLEN = 640
+
+
+def _mp_kernel_available() -> bool:
+    """The Pallas merge-path kernel lowers on real TPUs only; CPU (tests,
+    dryrun_multichip) stays on the XLA gather formulations."""
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 class SparseConvBlock(nn.Module):
@@ -71,11 +86,14 @@ class SparseConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, feats, out_mask, train: bool, idx=None, inv_idx=None,
-                 xwin=None, ids=None):
-        """Subm form: pass (xwin, ids) from sparse.neighbor_xwin_info on the
-        layer's grid. Strided form: pass idx (+ inv_idx for the gather-based
-        backward)."""
-        if xwin is not None:
+                 xwin=None, ids=None, mp_pack=None):
+        """Subm form: pass (xwin, ids) from sparse.neighbor_xwin_info, or
+        mp_pack from mp_conv.subm_mp3_pack (Pallas merge-path kernel), on
+        the layer's grid. Strided form: pass idx (+ inv_idx for the
+        gather-based backward)."""
+        if mp_pack is not None:
+            ktaps = mp_pack.lv2.shape[1] * mp_pack.xv2.shape[1]
+        elif xwin is not None:
             ktaps = xwin.num_taps
         else:
             _, ktaps = idx.shape
@@ -89,7 +107,12 @@ class SparseConvBlock(nn.Module):
         kernel = kernel.astype(self.dtype)
 
         if self.symmetric_taps:
-            if xwin is not None:
+            if mp_pack is not None:
+                out = mp_conv.mp3_subm_conv(
+                    mp_pack.xv2.shape[1], MP_TILE, MP_WLEN, feats, kernel,
+                    mp_pack,
+                )
+            elif xwin is not None:
                 out = subm_conv_ops.subm_conv_xwin(
                     xwin.kx, feats, kernel, ids, xwin.rows, xwin.xvalid
                 )
@@ -124,6 +147,8 @@ class SparseEncoder(nn.Module):
     stage_cap_factors: Sequence[float] = (1.0, 1.0, 0.75, 0.5)
     out_cap_factor: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    # None = auto: Pallas merge-path kernel on TPU, XLA gathers elsewhere
+    use_mp_kernel: bool = None
 
     @nn.compact
     def __call__(self, voxel_features, grid: sparse.SparseGrid, train: bool):
@@ -136,14 +161,28 @@ class SparseEncoder(nn.Module):
         """
         n_cap = voxel_features.shape[0]
 
+        use_mp = self.use_mp_kernel
+        if use_mp is None:
+            use_mp = _mp_kernel_available()
+
         def subm_rel(g: sparse.SparseGrid, cin: int):
             # ONE relation build per grid resolution, shared by every subm
-            # conv on it — xwin or dense by the width rule (module docstring).
-            # The packed rank sort needs the merged-batch id space in 30 bits
-            # (true up to B=11 at the KITTI grid); beyond that fall back to
-            # the dense index, whose lookup degrades to the non-packed path.
+            # conv on it. On TPU the Pallas merge-path kernel replaces both
+            # the rank sort and the gathers (boundaries are a vectorized
+            # binary search; values clamp at 2^31-2^26, lifting the packed
+            # sort's 30-bit id-space cap). Off-TPU: xwin or dense by the
+            # width rule (module docstring); the packed rank sort needs the
+            # merged-batch id space in 30 bits (true up to B=11 at the
+            # KITTI grid), beyond that the dense index's lookup degrades to
+            # the non-packed path.
             import numpy as _np
 
+            if use_mp:
+                return {
+                    "mp_pack": mp_conv.subm_mp3_pack(
+                        g, _SUBM_KERNEL, D=MP_TILE, wlen=MP_WLEN
+                    )
+                }
             id_space = int(_np.prod([int(s) for s in g.spatial_shape],
                                     dtype=_np.int64))
             if cin <= XWIN_MAX_CIN and id_space + _SUBM_KERNEL[-1] < sparse._PACK_CAP:

@@ -378,11 +378,10 @@ class MP3Pack(NamedTuple):
     """Kernel-layout stream info for the Pallas merge-path gather-conv."""
 
     tblr: jnp.ndarray    # [1, n + TWIN] int32 row-form ids
-    tblc: jnp.ndarray    # [n + TWIN, 1] int32 col-form ids
     qs2: jnp.ndarray     # [n + D, S] int32 query values (columns sorted)
     xv2: jnp.ndarray     # [n + D, kx] bf16
     lv2: jnp.ndarray     # [n + D, S] bf16
-    tm2: jnp.ndarray     # [n + TWIN, S*kx] bf16 mirror-tap table masks
+    tm2r: jnp.ndarray    # [S*kx, n + TWIN] bf16 row-form mirror-tap masks
     q_offs: jnp.ndarray  # [S, T+1] int32
 
 
@@ -397,7 +396,7 @@ def subm_mp3_pack(
     kx = int(kernel_size[-1])
     S, n = info.qs.shape
     TWIN = wlen + 8
-    assert wlen >= D + 2 * kx, "window must cover D + tap + build margins"
+    assert wlen >= D + kx, "window must cover D + the tap margin"
 
     tbl_pad = jnp.concatenate(
         [info.tbl, jnp.full((TWIN,), INT32_MAX, jnp.int32)]
@@ -411,18 +410,19 @@ def subm_mp3_pack(
     lv2 = jnp.concatenate(
         [info.leadvalid.astype(jnp.bfloat16), jnp.zeros((D, S), jnp.bfloat16)], 0
     )
-    # tm2[i, s*kx + dx] = leadvalid[i, S-1-s] & xvalid[i, kx-1-dx]: the
+    # tm2r[s*kx + dx, i] = leadvalid[i, S-1-s] & xvalid[i, kx-1-dx]: the
     # forward validity of the mirrored tap, applied to gathered rows in the
-    # backward d_feats pass (tap-mirror identity)
+    # backward d_feats pass (tap-mirror identity); row-form so the kernel
+    # broadcasts it over the one-hot without transposes
     tm = jnp.einsum(
-        "is,ik->isk",
-        info.leadvalid[:, ::-1].astype(jnp.bfloat16),
-        info.xvalid[:, ::-1].astype(jnp.bfloat16),
-    ).reshape(n, S * kx)
-    tm2 = jnp.concatenate([tm, jnp.zeros((TWIN, S * kx), jnp.bfloat16)], 0)
-    return MP3Pack(
-        tbl_pad[None, :], tbl_pad[:, None], qs2, xv2, lv2, tm2, info.q_offs
+        "si,ki->ski",
+        info.leadvalid[:, ::-1].astype(jnp.bfloat16).T,
+        info.xvalid[:, ::-1].astype(jnp.bfloat16).T,
+    ).reshape(S * kx, n)
+    tm2r = jnp.concatenate(
+        [tm, jnp.zeros((S * kx, TWIN), jnp.bfloat16)], axis=1
     )
+    return MP3Pack(tbl_pad[None, :], qs2, xv2, lv2, tm2r, info.q_offs)
 
 
 def mp3_subm_conv(kx: int, D: int, wlen: int, feats, kernel, pack: MP3Pack,
@@ -434,17 +434,17 @@ def mp3_subm_conv(kx: int, D: int, wlen: int, feats, kernel, pack: MP3Pack,
     (selection gathers are exact for bf16); returns feats.dtype.
     """
     return _mp3_subm_conv(
-        kx, D, wlen, interpret, feats, kernel, pack.tblr, pack.tblc,
-        pack.qs2, pack.xv2, pack.lv2, pack.tm2, pack.q_offs,
+        kx, D, wlen, interpret, feats, kernel, pack.tblr,
+        pack.qs2, pack.xv2, pack.lv2, pack.tm2r, pack.q_offs,
     )
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _mp3_subm_conv(kx, D, wlen, interpret, feats, kernel, tblr, tblc, qs2,
-                   xv2, lv2, tm2, q_offs):
+def _mp3_subm_conv(kx, D, wlen, interpret, feats, kernel, tblr, qs2,
+                   xv2, lv2, tm2r, q_offs):
     out, _ = _mp3_fwd_impl(
         kx, D, wlen, interpret, feats, kernel,
-        MP3Pack(tblr, tblc, qs2, xv2, lv2, tm2, q_offs),
+        MP3Pack(tblr, qs2, xv2, lv2, tm2r, q_offs),
     )
     return out
 
@@ -455,24 +455,25 @@ def _mp3_fwd_impl(kx, D, wlen, interpret, feats, kernel, pack):
     n, cin = feats.shape
     kcin, cout = kernel.shape
     S = pack.lv2.shape[1]
+    m = pack.qs2.shape[0] - D  # output rows (== n for subm, out-grid cap for strided)
     TWIN = wlen + 8
-    w3 = kernel.reshape(S, kx * cin, cout).astype(jnp.bfloat16)
+    w4 = kernel.reshape(S, kx, cin, cout).astype(jnp.bfloat16)
     f16 = jnp.concatenate(
         [feats.astype(jnp.bfloat16), jnp.zeros((TWIN, cin), jnp.bfloat16)], 0
     )
     bufs = mp_gather_conv(
-        f16, w3, pack.tblr, pack.tblc, pack.qs2, pack.xv2, pack.lv2,
-        pack.tm2, pack.q_offs,
+        f16, w4, pack.tblr, pack.qs2, pack.xv2, pack.lv2,
+        pack.tm2r, pack.q_offs,
         S=S, kx=kx, D=D, wlen=wlen, cout=cout, mode="out",
         interpret=interpret,
     )
-    out = jnp.sum(bufs[:, :n].astype(jnp.float32), axis=0).astype(feats.dtype)
+    out = jnp.sum(bufs[:, :m].astype(jnp.float32), axis=0).astype(feats.dtype)
     return out, (n, cin, cout, S, TWIN)
 
 
-def _mp3_vjp_fwd(kx, D, wlen, interpret, feats, kernel, tblr, tblc, qs2,
-                 xv2, lv2, tm2, q_offs):
-    pack = MP3Pack(tblr, tblc, qs2, xv2, lv2, tm2, q_offs)
+def _mp3_vjp_fwd(kx, D, wlen, interpret, feats, kernel, tblr, qs2,
+                 xv2, lv2, tm2r, q_offs):
+    pack = MP3Pack(tblr, qs2, xv2, lv2, tm2r, q_offs)
     out, _ = _mp3_fwd_impl(kx, D, wlen, interpret, feats, kernel, pack)
     return out, (feats, kernel, pack)
 
@@ -486,16 +487,14 @@ def _mp3_vjp_bwd(kx, D, wlen, interpret, res, g):
     S = pack.lv2.shape[1]
     TWIN = wlen + 8
     w4 = kernel.reshape(S, kx, cin, cout)
-    # mirror weights: block dx of stream s = W[S-1-s, kx-1-dx]^T
-    wrev = jnp.transpose(w4[::-1, ::-1], (0, 1, 3, 2)).reshape(
-        S, kx * cout, cin
-    ).astype(jnp.bfloat16)
+    # mirror weights: tap dx of stream s applies W[S-1-s, kx-1-dx]^T
+    wrev = jnp.transpose(w4[::-1, ::-1], (0, 1, 3, 2)).astype(jnp.bfloat16)
     g16 = jnp.concatenate(
         [g.astype(jnp.bfloat16), jnp.zeros((TWIN, cout), jnp.bfloat16)], 0
     )
     dbufs = mp_gather_conv(
-        g16, wrev, pack.tblr, pack.tblc, pack.qs2, pack.xv2, pack.lv2,
-        pack.tm2, pack.q_offs,
+        g16, wrev, pack.tblr, pack.qs2, pack.xv2, pack.lv2,
+        pack.tm2r, pack.q_offs,
         S=S, kx=kx, D=D, wlen=wlen, cout=cin, mode="bwd",
         interpret=interpret,
     )
@@ -505,8 +504,8 @@ def _mp3_vjp_bwd(kx, D, wlen, interpret, res, g):
         [feats.astype(jnp.bfloat16), jnp.zeros((TWIN, cin), jnp.bfloat16)], 0
     )
     col = mp_gather_conv(
-        f16, jnp.zeros((S, 1, 1), jnp.bfloat16), pack.tblr, pack.tblc,
-        pack.qs2, pack.xv2, pack.lv2, pack.tm2, pack.q_offs,
+        f16, jnp.zeros((S, kx, cin, 1), jnp.bfloat16), pack.tblr,
+        pack.qs2, pack.xv2, pack.lv2, pack.tm2r, pack.q_offs,
         S=S, kx=kx, D=D, wlen=wlen, cout=cout, mode="col",
         interpret=interpret,
     )  # [S, n + D, kx*cin], query-masked + tile-owned
@@ -515,7 +514,141 @@ def _mp3_vjp_bwd(kx, D, wlen, interpret, res, g):
         preferred_element_type=jnp.float32,
     )
     d_kernel = dW.reshape(S * kx * cin, cout).astype(kernel.dtype)
-    return (d_feats, d_kernel) + (None,) * 7
+    return (d_feats, d_kernel) + (None,) * 6
 
 
 _mp3_subm_conv.defvjp(_mp3_vjp_fwd, _mp3_vjp_bwd)
+
+
+def strided_mp3_pack(
+    in_grid: sparse.SparseGrid,
+    out_grid: sparse.SparseGrid,
+    kernel_size: Sequence[int],
+    stride: Sequence[int],
+    padding: Sequence[int],
+    D: int = 512,
+    wlen: int = 640,
+) -> MP3Pack:
+    """Merge-path stream info for a strided (regular) sparse conv forward.
+
+    Queries live on the OUT grid: q0 = flat(out*stride - padding +
+    lead_offset) in the INPUT id space — strictly monotone in out flat-id
+    order for the encoder's geometries (axis spans telescope; see the
+    module derivation), so each stream is sorted and the same kernel
+    applies. tm2r is unused (the strided backward gathers through the
+    fused-downsample inverse index instead of the tap mirror).
+    """
+    ndim = in_grid.ndim
+    kernel_size = tuple(int(v) for v in kernel_size)
+    kx = kernel_size[-1]
+    in_shape = in_grid.spatial_shape
+    strides_f = sparse._strides_of(in_shape)
+    lead_offs = sparse.kernel_offsets(kernel_size[:-1])
+    S = lead_offs.shape[0]
+    m = out_grid.flat_ids.shape[0]
+    n = in_grid.flat_ids.shape[0]
+    TWIN = wlen + 8
+
+    id_space = int(np.prod([int(v) for v in in_shape], dtype=np.int64))
+    assert id_space + kx + 2 < int(_CAP_T)
+
+    base = [
+        out_grid.coords[:, a] * int(stride[a]) - int(padding[a])
+        for a in range(ndim)
+    ]
+    last = base[ndim - 1]
+    q_cols, lv_cols = [], []
+    for s in range(S):
+        flat = last
+        valid = out_grid.mask
+        for a in range(ndim - 1):
+            q = base[a] + int(lead_offs[s, a])
+            valid = valid & (q >= 0) & (q < in_shape[a])
+            flat = flat + q * int(strides_f[a])
+        q_cols.append(jnp.where(out_grid.mask, flat, _CAP_T).astype(jnp.int32))
+        lv_cols.append(valid)
+    qs = jnp.stack(q_cols, axis=0)            # [S, m]
+    leadvalid = jnp.stack(lv_cols, axis=1)    # [m, S]
+    lx = last[:, None] + jnp.arange(kx, dtype=jnp.int32)[None, :]
+    xvalid = out_grid.mask[:, None] & (lx >= 0) & (lx < in_shape[-1])
+
+    tbl = jnp.minimum(in_grid.flat_ids, _CAP_T)
+    q_offs = mp_boundaries(tbl, qs, D)
+    tbl_pad = jnp.concatenate([tbl, jnp.full((TWIN,), INT32_MAX, jnp.int32)])
+    qs2 = jnp.concatenate([qs.T, jnp.full((D, S), _CAP_T, jnp.int32)], axis=0)
+    xv2 = jnp.concatenate(
+        [xvalid.astype(jnp.bfloat16), jnp.zeros((D, kx), jnp.bfloat16)], 0
+    )
+    lv2 = jnp.concatenate(
+        [leadvalid.astype(jnp.bfloat16), jnp.zeros((D, S), jnp.bfloat16)], 0
+    )
+    tm2r = jnp.zeros((S * kx, 8), jnp.bfloat16)  # unused in fwd/col modes
+    return MP3Pack(tbl_pad[None, :], qs2, xv2, lv2, tm2r, q_offs)
+
+
+def mp3_strided_conv(kx: int, D: int, wlen: int, feats, kernel,
+                     pack: MP3Pack, inv_idx, interpret: bool = False):
+    """Strided sparse conv: merge-path one-hot kernel forward, inverse-index
+    gather backward (sparse.downsample_with_index supplies inv for free).
+
+    feats [n_in, Cin]; kernel [K*Cin, Cout]; inv_idx [n_in, K] in [0, m].
+    """
+    return _mp3_strided_conv(
+        kx, D, wlen, interpret, feats, kernel, pack.tblr, pack.qs2,
+        pack.xv2, pack.lv2, pack.tm2r, pack.q_offs, inv_idx,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _mp3_strided_conv(kx, D, wlen, interpret, feats, kernel, tblr, qs2,
+                      xv2, lv2, tm2r, q_offs, inv_idx):
+    pack = MP3Pack(tblr, qs2, xv2, lv2, tm2r, q_offs)
+    out, _ = _mp3_fwd_impl(kx, D, wlen, interpret, feats, kernel, pack)
+    return out
+
+
+def _mp3s_vjp_fwd(kx, D, wlen, interpret, feats, kernel, tblr, qs2,
+                  xv2, lv2, tm2r, q_offs, inv_idx):
+    pack = MP3Pack(tblr, qs2, xv2, lv2, tm2r, q_offs)
+    out, _ = _mp3_fwd_impl(kx, D, wlen, interpret, feats, kernel, pack)
+    return out, (feats, kernel, pack, inv_idx)
+
+
+def _mp3s_vjp_bwd(kx, D, wlen, interpret, res, g):
+    from ..kernels.mp_gather import mp_gather_conv
+    from .subm_conv import _gather_col
+
+    feats, kernel, pack, inv_idx = res
+    n, cin = feats.shape
+    kcin, cout = kernel.shape
+    k = kcin // cin
+    S = pack.lv2.shape[1]
+    TWIN = wlen + 8
+    # d_feats through the inverse index: gather-only, tap-aligned (no mirror)
+    w_t = jnp.transpose(
+        kernel.reshape(k, cin, cout), (0, 2, 1)
+    ).reshape(k * cout, cin).astype(g.dtype)
+    g_col = _gather_col(g, inv_idx)
+    d_feats = jnp.dot(
+        g_col, w_t, preferred_element_type=jnp.float32
+    ).astype(feats.dtype)
+
+    f16 = jnp.concatenate(
+        [feats.astype(jnp.bfloat16), jnp.zeros((TWIN, cin), jnp.bfloat16)], 0
+    )
+    col = mp_gather_conv(
+        f16, jnp.zeros((S, kx, cin, 1), jnp.bfloat16), pack.tblr,
+        pack.qs2, pack.xv2, pack.lv2, pack.tm2r, pack.q_offs,
+        S=S, kx=kx, D=D, wlen=wlen, cout=cout, mode="col",
+        interpret=interpret,
+    )
+    m = pack.qs2.shape[0] - D
+    dW = jnp.einsum(
+        "smc,md->scd", col[:, :m], g.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    d_kernel = dW.reshape(S * kx * cin, cout).astype(kernel.dtype)
+    return (d_feats, d_kernel) + (None,) * 7
+
+
+_mp3_strided_conv.defvjp(_mp3s_vjp_fwd, _mp3s_vjp_bwd)

@@ -92,3 +92,50 @@ def test_save_best_checkpoint(tmp_path):
     with open(tmp_path / "wd" / "best_metric.json") as f:
         rec = json.load(f)
     assert rec == {"value": 20.0, "epoch": 3}
+
+
+def test_tta_merge_dedups_and_keeps_disjoint():
+    """The flip-TTA merge suppresses near-duplicate boxes of the same class
+    and keeps disjoint/other-class detections."""
+    import jax.numpy as jnp
+
+    from robustpointclouds_tpu.cli.common import _tta_merge_fn
+
+    merge = _tta_merge_fn(0.01)
+    car = [10.0, 5.0, -1.0, 3.9, 1.6, 1.56, 0.3]
+    car_dup = [10.02, 5.0, -1.0, 3.9, 1.6, 1.56, 0.3]
+    far = [30.0, -5.0, -1.0, 3.9, 1.6, 1.56, 0.0]
+    boxes = jnp.asarray([[car, car_dup, far, car]], jnp.float32)
+    scores = jnp.asarray([[0.9, 0.8, 0.7, 0.6]])
+    labels = jnp.asarray([[0, 0, 0, 1]])
+    valid = jnp.asarray([[True, True, True, True]])
+    b, s, l, v = merge(boxes, scores, labels, valid)
+    kept = np.asarray(v[0])
+    ss = np.asarray(s[0])
+    ll = np.asarray(l[0])
+    # the 0.8 duplicate of the 0.9 box is suppressed; the far box and the
+    # other-class overlap survive
+    assert kept.sum() == 3
+    np.testing.assert_allclose(sorted(ss[kept]), [0.6, 0.7, 0.9], atol=1e-6)
+    assert 1 in ll[kept]
+
+
+def test_run_evaluation_tta_smoke(tmp_path):
+    """tta=True must run end-to-end and return the same metric surface."""
+    import jax
+    import jax.numpy as jnp
+
+    from robustpointclouds_tpu.cli.common import run_evaluation
+    from robustpointclouds_tpu.train import TrainConfig, Trainer
+
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_model import as_jnp, tiny_batch, tiny_cfg
+
+    trainer = Trainer(model_cfg=tiny_cfg(adversary=False),
+                      train_cfg=TrainConfig())
+    batch = as_jnp(tiny_batch(np.random.RandomState(0), B=2))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    res = run_evaluation(trainer, state, iter([batch]), tta=True)
+    assert "mAP_3d_moderate" in res

@@ -106,3 +106,81 @@ def test_kernel_grads_match_xla_mp():
         np.asarray(gw_k, np.float32), np.asarray(gw_r, np.float32),
         rtol=1e-1, atol=1e-1,
     )
+
+
+def test_kernel_strided_forward_and_grads():
+    """Strided mp forward must match the dense gather path; grads must match
+    the scatter-backward autodiff reference (inverse-index d_feats)."""
+    from robustpointclouds_tpu.ops.subm_conv import strided_conv
+
+    rng = np.random.RandomState(7)
+    in_grid = _random_grid(rng, shape=(1, 6, 8, 8), n_pad=64)
+    k4, s4, p4 = (1, 3, 3, 3), (1, 2, 2, 2), (0, 1, 1, 1)
+    out_grid, idx, inv = sparse.downsample_with_index(in_grid, k4, s4, p4,
+                                                      out_cap=64)
+    cin, cout = 8, 8
+    feats = jnp.asarray(rng.randn(64, cin).astype(np.float32)).astype(jnp.bfloat16)
+    feats = jnp.where(in_grid.mask[:, None], feats, 0)
+    w = (jnp.asarray(rng.randn(27 * cin, cout).astype(np.float32)) * 0.2).astype(
+        jnp.bfloat16)
+    pack = mp_conv.strided_mp3_pack(in_grid, out_grid, k4, s4, p4, D=D, wlen=WLEN)
+
+    ref = np.asarray(strided_conv(feats, w, idx), np.float32)
+    out = np.asarray(
+        mp_conv.mp3_strided_conv(3, D, WLEN, feats, w, pack, inv,
+                                 interpret=True),
+        np.float32,
+    )
+    m = np.asarray(out_grid.mask)
+    np.testing.assert_allclose(out[m], ref[m], rtol=5e-2, atol=5e-2)
+    assert np.all(out[~m] == 0)
+
+    g_out = jnp.where(out_grid.mask[:, None],
+                      jnp.asarray(rng.randn(64, cout).astype(np.float32)),
+                      0.0).astype(jnp.bfloat16)
+
+    def loss_mp(f, ww):
+        o = mp_conv.mp3_strided_conv(3, D, WLEN, f, ww, pack, inv,
+                                     interpret=True)
+        return jnp.sum(o.astype(jnp.float32) * g_out.astype(jnp.float32))
+
+    def loss_ref(f, ww):
+        return jnp.sum(strided_conv(f, ww, idx).astype(jnp.float32)
+                       * g_out.astype(jnp.float32))
+
+    gf_m, gw_m = jax.grad(loss_mp, argnums=(0, 1))(feats, w)
+    gf_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    mi = np.asarray(in_grid.mask)
+    np.testing.assert_allclose(
+        np.asarray(gf_m, np.float32)[mi], np.asarray(gf_r, np.float32)[mi],
+        rtol=1e-1, atol=1e-1)
+    np.testing.assert_allclose(
+        np.asarray(gw_m, np.float32), np.asarray(gw_r, np.float32),
+        rtol=1e-1, atol=1e-1)
+
+
+def test_kernel_strided_conv_out_geometry():
+    """conv_out geometry: kernel (1,3,1,1) stride (1,2,1,1) pad 0 — S=3
+    lead groups with kx=1."""
+    from robustpointclouds_tpu.ops.subm_conv import strided_conv
+
+    rng = np.random.RandomState(8)
+    in_grid = _random_grid(rng, shape=(1, 7, 5, 5), n_pad=48, n_active=35)
+    k4, s4, p4 = (1, 3, 1, 1), (1, 2, 1, 1), (0, 0, 0, 0)
+    out_grid, idx, inv = sparse.downsample_with_index(in_grid, k4, s4, p4,
+                                                      out_cap=48)
+    cin, cout = 8, 8
+    feats = jnp.where(in_grid.mask[:, None],
+                      jnp.asarray(rng.randn(48, cin).astype(np.float32)),
+                      0.0).astype(jnp.bfloat16)
+    w = (jnp.asarray(rng.randn(3 * cin, cout).astype(np.float32)) * 0.2).astype(
+        jnp.bfloat16)
+    pack = mp_conv.strided_mp3_pack(in_grid, out_grid, k4, s4, p4, D=D, wlen=WLEN)
+    ref = np.asarray(strided_conv(feats, w, idx), np.float32)
+    out = np.asarray(
+        mp_conv.mp3_strided_conv(1, D, WLEN, feats, w, pack, inv,
+                                 interpret=True),
+        np.float32,
+    )
+    m = np.asarray(out_grid.mask)
+    np.testing.assert_allclose(out[m], ref[m], rtol=5e-2, atol=5e-2)
