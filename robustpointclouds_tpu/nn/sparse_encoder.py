@@ -52,9 +52,10 @@ _SUBM_KERNEL = (1, 3, 3, 3)  # batch axis has extent 1
 # row-count-bound), 64ch loses 1.9x (384 B rows go byte-bound)
 XWIN_MAX_CIN = 32
 
-# merge-path Pallas kernel tile geometry (kernels/mp_gather.py)
+# merge-path Pallas kernel tile geometry (kernels/mp_gather.py): the table
+# window needs TPAD-1 + D + kx = 530 rows; 544 is the 16-aligned cover
 MP_TILE = 512
-MP_WLEN = 640
+MP_WLEN = 544
 
 
 def _mp_kernel_available() -> bool:
@@ -92,7 +93,7 @@ class SparseConvBlock(nn.Module):
         the layer's grid. Strided form: pass idx (+ inv_idx for the
         gather-based backward)."""
         if mp_pack is not None:
-            ktaps = mp_pack.lv2.shape[1] * mp_pack.xv2.shape[1]
+            ktaps = mp_pack.q_offs.shape[0] * _SUBM_KERNEL[-1]
         elif xwin is not None:
             ktaps = xwin.num_taps
         else:
@@ -109,7 +110,7 @@ class SparseConvBlock(nn.Module):
         if self.symmetric_taps:
             if mp_pack is not None:
                 out = mp_conv.mp3_subm_conv(
-                    mp_pack.xv2.shape[1], MP_TILE, MP_WLEN, feats, kernel,
+                    _SUBM_KERNEL[-1], MP_TILE, MP_WLEN, feats, kernel,
                     mp_pack,
                 )
             elif xwin is not None:

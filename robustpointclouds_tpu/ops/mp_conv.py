@@ -375,13 +375,17 @@ _mp_subm_conv.defvjp(_mp_fwd, _mp_bwd)
 
 
 class MP3Pack(NamedTuple):
-    """Kernel-layout stream info for the Pallas merge-path gather-conv."""
+    """Kernel-layout stream info for the Pallas merge-path gather-conv.
 
-    tblr: jnp.ndarray    # [1, n + TWIN] int32 row-form ids
-    qs2: jnp.ndarray     # [n + D, S] int32 query values (columns sorted)
-    xv2: jnp.ndarray     # [n + D, kx] bf16
-    lv2: jnp.ndarray     # [n + D, S] bf16
-    tm2r: jnp.ndarray    # [S*kx, n + TWIN] bf16 row-form mirror-tap masks
+    Orientation: table ids/masks in COLUMN form (sublane DMA slicing is
+    unrestricted), query-side data in ROW form with 128-aligned lane
+    extents — Mosaic rejects narrow lane slices."""
+
+    tblc: jnp.ndarray    # [n + TWIN, 1] int32 col-form ids
+    qsr: jnp.ndarray     # [S, m + D] int32 query values (rows sorted)
+    xvr: jnp.ndarray     # [kx, m + D] bf16
+    lvr: jnp.ndarray     # [S, m + D] bf16
+    tmc: jnp.ndarray     # [n + TWIN, 128] bf16 packed mirror masks (col s*kx+dx)
     q_offs: jnp.ndarray  # [S, T+1] int32
 
 
@@ -395,34 +399,48 @@ def subm_mp3_pack(
     info = subm_mp_info(grid, kernel_size, D=D)
     kx = int(kernel_size[-1])
     S, n = info.qs.shape
-    TWIN = wlen + 8
-    assert wlen >= D + kx, "window must cover D + the tap margin"
+    from ..kernels.mp_gather import TPAD as _TPAD
 
+    TWIN = wlen
+    # window covers owned ranks only (non-owned queries are blended away):
+    # [ta >= t_off-(TPAD-1), ta+TWIN) must span [t_off, t_off+D+kx)
+    assert wlen >= _TPAD - 1 + D + kx and wlen % _TPAD == 0
+
+    from ..kernels.mp_gather import QPAD, TM_LANES, TPAD
+
+    DW = D + QPAD
     tbl_pad = jnp.concatenate(
-        [info.tbl, jnp.full((TWIN,), INT32_MAX, jnp.int32)]
+        [info.tbl, jnp.full((TWIN + TPAD,), INT32_MAX, jnp.int32)]
     )
-    qs2 = jnp.concatenate(
-        [info.qs.T, jnp.full((D, S), _CAP_T, jnp.int32)], axis=0
+    # replicated-row layouts: DMA slice shapes AND offsets must be
+    # tile-aligned (int32 (8,128), bf16 (16,128)), so stream s's row lives
+    # at the aligned row offset 8s / 16s and windows are QPAD-aligned
+    qs_p = jnp.concatenate(
+        [info.qs, jnp.full((S, DW), _CAP_T, jnp.int32)], axis=1
     )
-    xv2 = jnp.concatenate(
-        [info.xvalid.astype(jnp.bfloat16), jnp.zeros((D, kx), jnp.bfloat16)], 0
+    qsr = jnp.full((S * 8, n + DW), _CAP_T, jnp.int32).at[::8].set(qs_p)
+    xv_p = jnp.concatenate(
+        [info.xvalid.astype(jnp.bfloat16).T, jnp.zeros((kx, DW), jnp.bfloat16)],
+        axis=1,
     )
-    lv2 = jnp.concatenate(
-        [info.leadvalid.astype(jnp.bfloat16), jnp.zeros((D, S), jnp.bfloat16)], 0
+    xvr = jnp.zeros((16, n + DW), jnp.bfloat16).at[:kx].set(xv_p)
+    lv_p = jnp.concatenate(
+        [info.leadvalid.astype(jnp.bfloat16).T, jnp.zeros((S, DW), jnp.bfloat16)],
+        axis=1,
     )
-    # tm2r[s*kx + dx, i] = leadvalid[i, S-1-s] & xvalid[i, kx-1-dx]: the
+    lvr = jnp.zeros((S * 16, n + DW), jnp.bfloat16).at[::16].set(lv_p)
+    # tmc[i, s*kx + dx] = leadvalid[i, S-1-s] & xvalid[i, kx-1-dx]: the
     # forward validity of the mirrored tap, applied to gathered rows in the
-    # backward d_feats pass (tap-mirror identity); row-form so the kernel
-    # broadcasts it over the one-hot without transposes
+    # backward d_feats pass (tap-mirror identity); packed into a 128-lane
+    # block so the kernel takes one full-width DMA and value-slices columns
     tm = jnp.einsum(
-        "si,ki->ski",
-        info.leadvalid[:, ::-1].astype(jnp.bfloat16).T,
-        info.xvalid[:, ::-1].astype(jnp.bfloat16).T,
-    ).reshape(S * kx, n)
-    tm2r = jnp.concatenate(
-        [tm, jnp.zeros((S * kx, TWIN), jnp.bfloat16)], axis=1
-    )
-    return MP3Pack(tbl_pad[None, :], qs2, xv2, lv2, tm2r, info.q_offs)
+        "is,ik->isk",
+        info.leadvalid[:, ::-1].astype(jnp.bfloat16),
+        info.xvalid[:, ::-1].astype(jnp.bfloat16),
+    ).reshape(n, S * kx)
+    tmc = jnp.zeros((n + TWIN + TPAD, TM_LANES), jnp.bfloat16)
+    tmc = tmc.at[:n, : S * kx].set(tm)
+    return MP3Pack(tbl_pad[:, None], qsr, xvr, lvr, tmc, info.q_offs)
 
 
 def mp3_subm_conv(kx: int, D: int, wlen: int, feats, kernel, pack: MP3Pack,
@@ -434,17 +452,17 @@ def mp3_subm_conv(kx: int, D: int, wlen: int, feats, kernel, pack: MP3Pack,
     (selection gathers are exact for bf16); returns feats.dtype.
     """
     return _mp3_subm_conv(
-        kx, D, wlen, interpret, feats, kernel, pack.tblr,
-        pack.qs2, pack.xv2, pack.lv2, pack.tm2r, pack.q_offs,
+        kx, D, wlen, interpret, feats, kernel, pack.tblc,
+        pack.qsr, pack.xvr, pack.lvr, pack.tmc, pack.q_offs,
     )
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _mp3_subm_conv(kx, D, wlen, interpret, feats, kernel, tblr, qs2,
-                   xv2, lv2, tm2r, q_offs):
+def _mp3_subm_conv(kx, D, wlen, interpret, feats, kernel, tblc, qsr,
+                   xvr, lvr, tmc, q_offs):
     out, _ = _mp3_fwd_impl(
         kx, D, wlen, interpret, feats, kernel,
-        MP3Pack(tblr, qs2, xv2, lv2, tm2r, q_offs),
+        MP3Pack(tblc, qsr, xvr, lvr, tmc, q_offs),
     )
     return out
 
@@ -454,26 +472,29 @@ def _mp3_fwd_impl(kx, D, wlen, interpret, feats, kernel, pack):
 
     n, cin = feats.shape
     kcin, cout = kernel.shape
-    S = pack.lv2.shape[1]
-    m = pack.qs2.shape[0] - D  # output rows (== n for subm, out-grid cap for strided)
-    TWIN = wlen + 8
+    S = pack.q_offs.shape[0]
+    from ..kernels.mp_gather import QPAD, TPAD
+
+    m = pack.qsr.shape[1] - D - QPAD  # output rows (n for subm, out cap strided)
+    TWIN = wlen
     w4 = kernel.reshape(S, kx, cin, cout).astype(jnp.bfloat16)
     f16 = jnp.concatenate(
-        [feats.astype(jnp.bfloat16), jnp.zeros((TWIN, cin), jnp.bfloat16)], 0
+        [feats.astype(jnp.bfloat16),
+         jnp.zeros((TWIN + TPAD, cin), jnp.bfloat16)], 0
     )
     bufs = mp_gather_conv(
-        f16, w4, pack.tblr, pack.qs2, pack.xv2, pack.lv2,
-        pack.tm2r, pack.q_offs,
+        f16, w4, pack.tblc, pack.qsr, pack.xvr, pack.lvr,
+        pack.tmc, pack.q_offs,
         S=S, kx=kx, D=D, wlen=wlen, cout=cout, mode="out",
         interpret=interpret,
     )
-    out = jnp.sum(bufs[:, :m].astype(jnp.float32), axis=0).astype(feats.dtype)
+    out = jnp.sum(bufs[:, 0, :m].astype(jnp.float32), axis=0).astype(feats.dtype)
     return out, (n, cin, cout, S, TWIN)
 
 
-def _mp3_vjp_fwd(kx, D, wlen, interpret, feats, kernel, tblr, qs2,
-                 xv2, lv2, tm2r, q_offs):
-    pack = MP3Pack(tblr, qs2, xv2, lv2, tm2r, q_offs)
+def _mp3_vjp_fwd(kx, D, wlen, interpret, feats, kernel, tblc, qsr,
+                 xvr, lvr, tmc, q_offs):
+    pack = MP3Pack(tblc, qsr, xvr, lvr, tmc, q_offs)
     out, _ = _mp3_fwd_impl(kx, D, wlen, interpret, feats, kernel, pack)
     return out, (feats, kernel, pack)
 
@@ -484,33 +505,37 @@ def _mp3_vjp_bwd(kx, D, wlen, interpret, res, g):
     feats, kernel, pack = res
     n, cin = feats.shape
     kcin, cout = kernel.shape
-    S = pack.lv2.shape[1]
-    TWIN = wlen + 8
+    S = pack.q_offs.shape[0]
+    from ..kernels.mp_gather import QPAD, TPAD
+
+    TWIN = wlen
     w4 = kernel.reshape(S, kx, cin, cout)
     # mirror weights: tap dx of stream s applies W[S-1-s, kx-1-dx]^T
     wrev = jnp.transpose(w4[::-1, ::-1], (0, 1, 3, 2)).astype(jnp.bfloat16)
     g16 = jnp.concatenate(
-        [g.astype(jnp.bfloat16), jnp.zeros((TWIN, cout), jnp.bfloat16)], 0
+        [g.astype(jnp.bfloat16),
+         jnp.zeros((TWIN + TPAD, cout), jnp.bfloat16)], 0
     )
     dbufs = mp_gather_conv(
-        g16, wrev, pack.tblr, pack.qs2, pack.xv2, pack.lv2,
-        pack.tm2r, pack.q_offs,
+        g16, wrev, pack.tblc, pack.qsr, pack.xvr, pack.lvr,
+        pack.tmc, pack.q_offs,
         S=S, kx=kx, D=D, wlen=wlen, cout=cin, mode="bwd",
         interpret=interpret,
     )
-    d_feats = jnp.sum(dbufs[:, :n].astype(jnp.float32), axis=0).astype(feats.dtype)
+    d_feats = jnp.sum(dbufs[:, 0, :n].astype(jnp.float32), axis=0).astype(feats.dtype)
 
     f16 = jnp.concatenate(
-        [feats.astype(jnp.bfloat16), jnp.zeros((TWIN, cin), jnp.bfloat16)], 0
+        [feats.astype(jnp.bfloat16),
+         jnp.zeros((TWIN + TPAD, cin), jnp.bfloat16)], 0
     )
     col = mp_gather_conv(
-        f16, jnp.zeros((S, kx, cin, 1), jnp.bfloat16), pack.tblr,
-        pack.qs2, pack.xv2, pack.lv2, pack.tm2r, pack.q_offs,
+        f16, jnp.zeros((S, kx, cin, 1), jnp.bfloat16), pack.tblc,
+        pack.qsr, pack.xvr, pack.lvr, pack.tmc, pack.q_offs,
         S=S, kx=kx, D=D, wlen=wlen, cout=cout, mode="col",
         interpret=interpret,
-    )  # [S, n + D, kx*cin], query-masked + tile-owned
+    )  # [S, kx, n + D, cin] tap blocks, query-masked + tile-owned
     dW = jnp.einsum(
-        "smc,md->scd", col[:, :n], g.astype(jnp.bfloat16),
+        "skmc,md->skcd", col[:, :, :n], g.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
     d_kernel = dW.reshape(S * kx * cin, cout).astype(kernel.dtype)
@@ -535,7 +560,7 @@ def strided_mp3_pack(
     lead_offset) in the INPUT id space — strictly monotone in out flat-id
     order for the encoder's geometries (axis spans telescope; see the
     module derivation), so each stream is sorted and the same kernel
-    applies. tm2r is unused (the strided backward gathers through the
+    applies. tmc is unused (the strided backward gathers through the
     fused-downsample inverse index instead of the tap mirror).
     """
     ndim = in_grid.ndim
@@ -547,7 +572,7 @@ def strided_mp3_pack(
     S = lead_offs.shape[0]
     m = out_grid.flat_ids.shape[0]
     n = in_grid.flat_ids.shape[0]
-    TWIN = wlen + 8
+    TWIN = wlen
 
     id_space = int(np.prod([int(v) for v in in_shape], dtype=np.int64))
     assert id_space + kx + 2 < int(_CAP_T)
@@ -572,18 +597,29 @@ def strided_mp3_pack(
     lx = last[:, None] + jnp.arange(kx, dtype=jnp.int32)[None, :]
     xvalid = out_grid.mask[:, None] & (lx >= 0) & (lx < in_shape[-1])
 
+    from ..kernels.mp_gather import QPAD, TM_LANES, TPAD
+
+    DW = D + QPAD
     tbl = jnp.minimum(in_grid.flat_ids, _CAP_T)
     q_offs = mp_boundaries(tbl, qs, D)
-    tbl_pad = jnp.concatenate([tbl, jnp.full((TWIN,), INT32_MAX, jnp.int32)])
-    qs2 = jnp.concatenate([qs.T, jnp.full((D, S), _CAP_T, jnp.int32)], axis=0)
-    xv2 = jnp.concatenate(
-        [xvalid.astype(jnp.bfloat16), jnp.zeros((D, kx), jnp.bfloat16)], 0
+    tbl_pad = jnp.concatenate(
+        [tbl, jnp.full((TWIN + TPAD,), INT32_MAX, jnp.int32)]
     )
-    lv2 = jnp.concatenate(
-        [leadvalid.astype(jnp.bfloat16), jnp.zeros((D, S), jnp.bfloat16)], 0
+    qs_p = jnp.concatenate([qs, jnp.full((S, DW), _CAP_T, jnp.int32)], axis=1)
+    qsr = jnp.full((S * 8, m + DW), _CAP_T, jnp.int32).at[::8].set(qs_p)
+    xv_p = jnp.concatenate(
+        [xvalid.astype(jnp.bfloat16).T, jnp.zeros((kx, DW), jnp.bfloat16)],
+        axis=1,
     )
-    tm2r = jnp.zeros((S * kx, 8), jnp.bfloat16)  # unused in fwd/col modes
-    return MP3Pack(tbl_pad[None, :], qs2, xv2, lv2, tm2r, q_offs)
+    xvr = jnp.zeros((16, m + DW), jnp.bfloat16).at[:kx].set(xv_p)
+    lv_p = jnp.concatenate(
+        [leadvalid.astype(jnp.bfloat16).T, jnp.zeros((S, DW), jnp.bfloat16)],
+        axis=1,
+    )
+    lvr = jnp.zeros((S * 16, m + DW), jnp.bfloat16).at[::16].set(lv_p)
+    # unused in fwd/col modes
+    tmc = jnp.zeros((n + TWIN + TPAD, TM_LANES), jnp.bfloat16)
+    return MP3Pack(tbl_pad[:, None], qsr, xvr, lvr, tmc, q_offs)
 
 
 def mp3_strided_conv(kx: int, D: int, wlen: int, feats, kernel,
@@ -594,22 +630,22 @@ def mp3_strided_conv(kx: int, D: int, wlen: int, feats, kernel,
     feats [n_in, Cin]; kernel [K*Cin, Cout]; inv_idx [n_in, K] in [0, m].
     """
     return _mp3_strided_conv(
-        kx, D, wlen, interpret, feats, kernel, pack.tblr, pack.qs2,
-        pack.xv2, pack.lv2, pack.tm2r, pack.q_offs, inv_idx,
+        kx, D, wlen, interpret, feats, kernel, pack.tblc, pack.qsr,
+        pack.xvr, pack.lvr, pack.tmc, pack.q_offs, inv_idx,
     )
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _mp3_strided_conv(kx, D, wlen, interpret, feats, kernel, tblr, qs2,
-                      xv2, lv2, tm2r, q_offs, inv_idx):
-    pack = MP3Pack(tblr, qs2, xv2, lv2, tm2r, q_offs)
+def _mp3_strided_conv(kx, D, wlen, interpret, feats, kernel, tblc, qsr,
+                      xvr, lvr, tmc, q_offs, inv_idx):
+    pack = MP3Pack(tblc, qsr, xvr, lvr, tmc, q_offs)
     out, _ = _mp3_fwd_impl(kx, D, wlen, interpret, feats, kernel, pack)
     return out
 
 
-def _mp3s_vjp_fwd(kx, D, wlen, interpret, feats, kernel, tblr, qs2,
-                  xv2, lv2, tm2r, q_offs, inv_idx):
-    pack = MP3Pack(tblr, qs2, xv2, lv2, tm2r, q_offs)
+def _mp3s_vjp_fwd(kx, D, wlen, interpret, feats, kernel, tblc, qsr,
+                  xvr, lvr, tmc, q_offs, inv_idx):
+    pack = MP3Pack(tblc, qsr, xvr, lvr, tmc, q_offs)
     out, _ = _mp3_fwd_impl(kx, D, wlen, interpret, feats, kernel, pack)
     return out, (feats, kernel, pack, inv_idx)
 
@@ -622,8 +658,10 @@ def _mp3s_vjp_bwd(kx, D, wlen, interpret, res, g):
     n, cin = feats.shape
     kcin, cout = kernel.shape
     k = kcin // cin
-    S = pack.lv2.shape[1]
-    TWIN = wlen + 8
+    S = pack.q_offs.shape[0]
+    from ..kernels.mp_gather import QPAD, TPAD
+
+    TWIN = wlen
     # d_feats through the inverse index: gather-only, tap-aligned (no mirror)
     w_t = jnp.transpose(
         kernel.reshape(k, cin, cout), (0, 2, 1)
@@ -634,17 +672,18 @@ def _mp3s_vjp_bwd(kx, D, wlen, interpret, res, g):
     ).astype(feats.dtype)
 
     f16 = jnp.concatenate(
-        [feats.astype(jnp.bfloat16), jnp.zeros((TWIN, cin), jnp.bfloat16)], 0
+        [feats.astype(jnp.bfloat16),
+         jnp.zeros((TWIN + TPAD, cin), jnp.bfloat16)], 0
     )
     col = mp_gather_conv(
-        f16, jnp.zeros((S, kx, cin, 1), jnp.bfloat16), pack.tblr,
-        pack.qs2, pack.xv2, pack.lv2, pack.tm2r, pack.q_offs,
+        f16, jnp.zeros((S, kx, cin, 1), jnp.bfloat16), pack.tblc,
+        pack.qsr, pack.xvr, pack.lvr, pack.tmc, pack.q_offs,
         S=S, kx=kx, D=D, wlen=wlen, cout=cout, mode="col",
         interpret=interpret,
     )
-    m = pack.qs2.shape[0] - D
+    m = pack.qsr.shape[1] - D - QPAD
     dW = jnp.einsum(
-        "smc,md->scd", col[:, :m], g.astype(jnp.bfloat16),
+        "skmc,md->skcd", col[:, :, :m], g.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
     d_kernel = dW.reshape(S * kx * cin, cout).astype(kernel.dtype)

@@ -51,7 +51,7 @@ def main():
 
     widths = [int(w) for w in os.environ.get("MPK_WIDTHS", "16,64").split(",")]
     D = int(os.environ.get("MPK_D", "512"))
-    WLEN = int(os.environ.get("MPK_WLEN", "640"))
+    WLEN = int(os.environ.get("MPK_WLEN", "544"))
     fwd_only = os.environ.get("MPK_FWD_ONLY", "0") == "1"
 
     cfg = VoxelNetConfig()

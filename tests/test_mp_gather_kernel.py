@@ -14,7 +14,7 @@ from robustpointclouds_tpu.ops import mp_conv, sparse
 from robustpointclouds_tpu.ops.subm_conv import subm_conv
 
 KER = (1, 3, 3, 3)
-D, WLEN = 16, 32
+D, WLEN = 16, 48
 
 
 def _random_grid(rng, shape=(1, 5, 6, 7), n_pad=64, n_active=40):
