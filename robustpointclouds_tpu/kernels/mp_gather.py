@@ -69,9 +69,11 @@ def _mk_kernel(S, kx, D, TWIN, C, cout, mode):
 
         def offsets(s):
             q_off = qoffs_ref[s, tau]
-            qa = (q_off // QPAD) * QPAD
+            qa = pl.multiple_of((q_off // QPAD) * QPAD, QPAD)
             t_off = tau * D - q_off
-            ta = jnp.maximum((t_off // TPAD) * TPAD, 0)
+            ta = pl.multiple_of(
+                jnp.maximum((t_off // TPAD) * TPAD, 0), TPAD
+            )
             return q_off, qa, ta
 
         def make_in_dmas(s, slot):
@@ -82,7 +84,7 @@ def _mk_kernel(S, kx, D, TWIN, C, cout, mode):
                     qw_s.at[slot], in_sems.at[slot, 0]),
                 pltpu.make_async_copy(
                     tblc_ref.at[pl.ds(ta, TWIN), :],
-                    twc_s.at[slot], in_sems.at[slot, 1]),
+                    twc_s.at[slot], in_sems.at[slot, 1]),  # [TWIN, 128] block
                 pltpu.make_async_copy(
                     feats_ref.at[pl.ds(ta, TWIN), :],
                     fw_s.at[slot], in_sems.at[slot, 2]),
@@ -123,7 +125,7 @@ def _mk_kernel(S, kx, D, TWIN, C, cout, mode):
             out_dmas[slot] = []
 
             qw = qw_s[slot][0:1]                # [1, DW] int32 (row 0)
-            twc = twc_s[slot]                   # [TWIN, 1] int32
+            twc = twc_s[slot][:, 0:1]           # [TWIN, 1] int32 (col 0)
             fw = fw_s[slot]                     # [TWIN, C] bf16
             diff = twc - qw                     # [TWIN, DW] int32
             lv = lv_s[slot][0:1]                # [1, DW] bf16 (query-side)
@@ -188,9 +190,14 @@ def _mk_kernel(S, kx, D, TWIN, C, cout, mode):
     static_argnames=("S", "kx", "D", "wlen", "cout", "mode", "interpret"),
 )
 def mp_gather_conv(
-    feats,      # [n + TWIN + TPAD, C] bf16 payload (zero padding rows)
+    feats,      # [n + TWIN + TPAD, C] bf16 payload (zero padding rows);
+                #   C must be a multiple of 128 — narrow-lane HBM DMA slices
+                #   are illegal, and tiled layouts pad lanes to 128 anyway,
+                #   so callers zero-pad channels (ops/mp_conv._pad_lanes)
     w,          # [S, kx, C, cout] bf16 (ignored in 'col' mode)
-    tblc,       # [n + TWIN + TPAD, 1] int32 col-form ids (pad INT32_MAX)
+    tblc,       # [n + TWIN + TPAD, 128] int32; ids in col 0 (a [n, 1] array
+                #   is physically 128-lane padded anyway — full-width slices
+                #   keep the DMA legal)
     qsr,        # [S*8, m + D + QPAD] int32 query rows (stream s at row 8s)
     xvr,        # [16, m + D + QPAD] bf16 x-validity rows (kx used)
     lvr,        # [S*16, m + D + QPAD] bf16 lead-validity (stream s at 16s)
@@ -204,6 +211,9 @@ def mp_gather_conv(
     [S, OB, m + D + QPAD, OW]: ('out'/'bwd') OB=1, OW=cout; ('col') OB=kx
     tap blocks of OW=C, query-masked and ownership-blended."""
     assert S * kx <= TM_LANES
+    assert feats.shape[1] % 128 == 0, "pad channels to 128 (lane DMA rule)"
+    if mode in ("out", "bwd"):
+        assert cout % 128 == 0, "pad cout to 128 (lane DMA rule)"
     TWIN = wlen
     # table window needs the owned ranks only: [ta >= t_off-(TPAD-1),
     # ta+TWIN) must span [t_off, t_off + D + kx)
@@ -232,7 +242,7 @@ def mp_gather_conv(
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, 8, DW), jnp.int32),        # qw row block
-            pltpu.VMEM((2, TWIN, 1), jnp.int32),      # twc
+            pltpu.VMEM((2, TWIN, 128), jnp.int32),    # twc block
             pltpu.VMEM((2, TWIN, C), jnp.bfloat16),   # fw
             pltpu.VMEM((2, 16, DW), jnp.bfloat16),    # xv rows
             pltpu.VMEM((2, 16, DW), jnp.bfloat16),    # lv row block

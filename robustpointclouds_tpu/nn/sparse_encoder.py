@@ -56,17 +56,22 @@ XWIN_MAX_CIN = 32
 # window needs TPAD-1 + D + kx = 530 rows; 544 is the 16-aligned cover
 MP_TILE = 512
 MP_WLEN = 544
+# tests flip this to exercise the integrated mp path in interpreter mode
+MP_INTERPRET = False
 
 
 def _mp_kernel_available() -> bool:
-    """The Pallas merge-path kernel lowers on real TPUs only; CPU (tests,
-    dryrun_multichip) stays on the XLA gather formulations."""
-    import jax
+    """Whether the Pallas merge-path kernel is the right default: NO.
 
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    Measured on the v5e (tools/bench_mp_kernel, N=96k, D=512): correct
+    (rel err 5e-3 bf16) but 27-30 ms fwd+bwd at every width vs 12.6 (xwin
+    16ch) / 17.2 (dense 64ch) — the one-hot matmuls are MXU-bound at
+    S*kx*TWIN*DW*cout_pad*2*T ≈ 0.9 TFLOP per 96k-row conv forward
+    regardless of channel width (lanes pad to 128), which exceeds what the
+    XLA gather engine charges. The kernel stays as a correct opt-in
+    (use_mp_kernel=True) and the geometry levers (smaller D, merge-path
+    band skip, VMEM output carry) are tracked in PARITY.md round-3 notes."""
+    return False
 
 
 class SparseConvBlock(nn.Module):
@@ -84,6 +89,8 @@ class SparseConvBlock(nn.Module):
     # compute dtype for the gather+matmul (params and BN stats stay f32);
     # bf16 halves the img2col gather traffic, the dominant cost on TPU
     dtype: jnp.dtype = jnp.float32
+    # last-axis kernel extent for the merge-path kernel path
+    mp_kx: int = 3
 
     @nn.compact
     def __call__(self, feats, out_mask, train: bool, idx=None, inv_idx=None,
@@ -93,7 +100,7 @@ class SparseConvBlock(nn.Module):
         the layer's grid. Strided form: pass idx (+ inv_idx for the
         gather-based backward)."""
         if mp_pack is not None:
-            ktaps = mp_pack.q_offs.shape[0] * _SUBM_KERNEL[-1]
+            ktaps = mp_pack.q_offs.shape[0] * self.mp_kx
         elif xwin is not None:
             ktaps = xwin.num_taps
         else:
@@ -110,8 +117,8 @@ class SparseConvBlock(nn.Module):
         if self.symmetric_taps:
             if mp_pack is not None:
                 out = mp_conv.mp3_subm_conv(
-                    _SUBM_KERNEL[-1], MP_TILE, MP_WLEN, feats, kernel,
-                    mp_pack,
+                    self.mp_kx, MP_TILE, MP_WLEN, feats, kernel, mp_pack,
+                    interpret=MP_INTERPRET,
                 )
             elif xwin is not None:
                 out = subm_conv_ops.subm_conv_xwin(
@@ -119,6 +126,11 @@ class SparseConvBlock(nn.Module):
                 )
             else:
                 out = subm_conv_ops.subm_conv(feats, kernel, idx)
+        elif mp_pack is not None and inv_idx is not None:
+            out = mp_conv.mp3_strided_conv(
+                self.mp_kx, MP_TILE, MP_WLEN, feats, kernel, mp_pack, inv_idx,
+                interpret=MP_INTERPRET,
+            )
         elif xwin is not None and inv_idx is not None:
             out = subm_conv_ops.strided_conv_xwin(
                 feats, kernel, ids, xwin.rows, xwin.xvalid, inv_idx
@@ -216,12 +228,18 @@ class SparseEncoder(nn.Module):
                         (1, 2, 2, 2),
                         (0, zpad, 1, 1),
                     )
-                    # one candidate sort yields sites + forward + inverse index
+                    # one candidate sort yields sites + forward + inverse
+                    # index (forward skipped when the mp kernel gathers)
                     new_g, down_idx, down_inv = sparse.downsample_with_index(
                         g, k4, s4, p4,
                         out_cap=max(int(n_cap * self.stage_cap_factors[i]), 1),
+                        forward=not use_mp,
                     )
-                    if x.shape[-1] <= XWIN_MAX_CIN:
+                    if use_mp:
+                        down_kw = dict(mp_pack=mp_conv.strided_mp3_pack(
+                            g, new_g, k4, s4, p4, D=MP_TILE, wlen=MP_WLEN,
+                        ))
+                    elif x.shape[-1] <= XWIN_MAX_CIN:
                         # x-window forward gather, derived FREE from the index
                         down_xwin = sparse.xwin_from_index(
                             down_idx, new_g.coords, new_g.mask, k4[-1],
@@ -246,12 +264,21 @@ class SparseEncoder(nn.Module):
         # kx == 1, so the window form degenerates; fused dense index path
         k4, s4, p4 = (1, 3, 1, 1), (1, 2, 1, 1), (0, 0, 0, 0)
         out_g, out_idx, out_inv = sparse.downsample_with_index(
-            g, k4, s4, p4, out_cap=max(int(n_cap * self.out_cap_factor), 1)
+            g, k4, s4, p4, out_cap=max(int(n_cap * self.out_cap_factor), 1),
+            forward=not use_mp,
         )
+        if use_mp:
+            out_kw = dict(mp_pack=mp_conv.strided_mp3_pack(
+                g, out_g, k4, s4, p4, D=MP_TILE, wlen=MP_WLEN,
+            ))
+            mp_kx_out = 1
+        else:
+            out_kw = dict(idx=out_idx)
+            mp_kx_out = 3
         x = SparseConvBlock(
             self.out_channels, symmetric_taps=False, dtype=self.dtype,
-            name="conv_out",
-        )(x, out_g.mask, train, idx=out_idx, inv_idx=out_inv)
+            mp_kx=mp_kx_out, name="conv_out",
+        )(x, out_g.mask, train, inv_idx=out_inv, **out_kw)
 
         dense = sparse.scatter_to_dense(x, out_g)  # [B, Dz, H', W', C]
         b, dz, h, w, c = dense.shape

@@ -374,6 +374,20 @@ _mp_subm_conv.defvjp(_mp_fwd, _mp_bwd)
 # ---------------------------------------------------------------------------
 
 
+def _pad_lanes(x, mult: int = 128):
+    """Zero-pad the minor (lane) axis to a multiple of `mult`.
+
+    Mosaic rejects HBM DMA slices narrower than a lane tile; tiled layouts
+    physically pad the minor dim to 128 anyway, so this moves no extra bytes
+    — it only makes the full-width slice legal."""
+    c = x.shape[-1]
+    cp = -(-c // mult) * mult
+    if cp == c:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, cp - c)]
+    return jnp.pad(x, pad)
+
+
 class MP3Pack(NamedTuple):
     """Kernel-layout stream info for the Pallas merge-path gather-conv.
 
@@ -381,7 +395,7 @@ class MP3Pack(NamedTuple):
     unrestricted), query-side data in ROW form with 128-aligned lane
     extents — Mosaic rejects narrow lane slices."""
 
-    tblc: jnp.ndarray    # [n + TWIN, 1] int32 col-form ids
+    tblc: jnp.ndarray    # [n + pad, 128] int32 block; ids in col 0
     qsr: jnp.ndarray     # [S, m + D] int32 query values (rows sorted)
     xvr: jnp.ndarray     # [kx, m + D] bf16
     lvr: jnp.ndarray     # [S, m + D] bf16
@@ -412,6 +426,7 @@ def subm_mp3_pack(
     tbl_pad = jnp.concatenate(
         [info.tbl, jnp.full((TWIN + TPAD,), INT32_MAX, jnp.int32)]
     )
+    tblc = jnp.zeros((n + TWIN + TPAD, 128), jnp.int32).at[:, 0].set(tbl_pad)
     # replicated-row layouts: DMA slice shapes AND offsets must be
     # tile-aligned (int32 (8,128), bf16 (16,128)), so stream s's row lives
     # at the aligned row offset 8s / 16s and windows are QPAD-aligned
@@ -440,7 +455,7 @@ def subm_mp3_pack(
     ).reshape(n, S * kx)
     tmc = jnp.zeros((n + TWIN + TPAD, TM_LANES), jnp.bfloat16)
     tmc = tmc.at[:n, : S * kx].set(tm)
-    return MP3Pack(tbl_pad[:, None], qsr, xvr, lvr, tmc, info.q_offs)
+    return MP3Pack(tblc, qsr, xvr, lvr, tmc, info.q_offs)
 
 
 def mp3_subm_conv(kx: int, D: int, wlen: int, feats, kernel, pack: MP3Pack,
@@ -477,18 +492,22 @@ def _mp3_fwd_impl(kx, D, wlen, interpret, feats, kernel, pack):
 
     m = pack.qsr.shape[1] - D - QPAD  # output rows (n for subm, out cap strided)
     TWIN = wlen
+    coutp = -(-cout // 128) * 128
     w4 = kernel.reshape(S, kx, cin, cout).astype(jnp.bfloat16)
-    f16 = jnp.concatenate(
+    w4 = _pad_lanes(_pad_lanes(w4).swapaxes(-1, -2)).swapaxes(-1, -2)
+    f16 = _pad_lanes(jnp.concatenate(
         [feats.astype(jnp.bfloat16),
          jnp.zeros((TWIN + TPAD, cin), jnp.bfloat16)], 0
-    )
+    ))
     bufs = mp_gather_conv(
         f16, w4, pack.tblc, pack.qsr, pack.xvr, pack.lvr,
         pack.tmc, pack.q_offs,
-        S=S, kx=kx, D=D, wlen=wlen, cout=cout, mode="out",
+        S=S, kx=kx, D=D, wlen=wlen, cout=coutp, mode="out",
         interpret=interpret,
     )
-    out = jnp.sum(bufs[:, 0, :m].astype(jnp.float32), axis=0).astype(feats.dtype)
+    out = jnp.sum(
+        bufs[:, 0, :m, :cout].astype(jnp.float32), axis=0
+    ).astype(feats.dtype)
     return out, (n, cin, cout, S, TWIN)
 
 
@@ -509,33 +528,37 @@ def _mp3_vjp_bwd(kx, D, wlen, interpret, res, g):
     from ..kernels.mp_gather import QPAD, TPAD
 
     TWIN = wlen
+    cinp = -(-cin // 128) * 128
     w4 = kernel.reshape(S, kx, cin, cout)
     # mirror weights: tap dx of stream s applies W[S-1-s, kx-1-dx]^T
     wrev = jnp.transpose(w4[::-1, ::-1], (0, 1, 3, 2)).astype(jnp.bfloat16)
-    g16 = jnp.concatenate(
+    wrev = _pad_lanes(_pad_lanes(wrev).swapaxes(-1, -2)).swapaxes(-1, -2)
+    g16 = _pad_lanes(jnp.concatenate(
         [g.astype(jnp.bfloat16),
          jnp.zeros((TWIN + TPAD, cout), jnp.bfloat16)], 0
-    )
+    ))
     dbufs = mp_gather_conv(
         g16, wrev, pack.tblc, pack.qsr, pack.xvr, pack.lvr,
         pack.tmc, pack.q_offs,
-        S=S, kx=kx, D=D, wlen=wlen, cout=cin, mode="bwd",
+        S=S, kx=kx, D=D, wlen=wlen, cout=cinp, mode="bwd",
         interpret=interpret,
     )
-    d_feats = jnp.sum(dbufs[:, 0, :n].astype(jnp.float32), axis=0).astype(feats.dtype)
+    d_feats = jnp.sum(
+        dbufs[:, 0, :n, :cin].astype(jnp.float32), axis=0
+    ).astype(feats.dtype)
 
-    f16 = jnp.concatenate(
+    f16 = _pad_lanes(jnp.concatenate(
         [feats.astype(jnp.bfloat16),
          jnp.zeros((TWIN + TPAD, cin), jnp.bfloat16)], 0
-    )
+    ))
     col = mp_gather_conv(
-        f16, jnp.zeros((S, kx, cin, 1), jnp.bfloat16), pack.tblc,
+        f16, jnp.zeros((S, kx, cinp, 128), jnp.bfloat16), pack.tblc,
         pack.qsr, pack.xvr, pack.lvr, pack.tmc, pack.q_offs,
-        S=S, kx=kx, D=D, wlen=wlen, cout=cout, mode="col",
+        S=S, kx=kx, D=D, wlen=wlen, cout=128, mode="col",
         interpret=interpret,
-    )  # [S, kx, n + D, cin] tap blocks, query-masked + tile-owned
+    )  # [S, kx, n + D, cinp] tap blocks, query-masked + tile-owned
     dW = jnp.einsum(
-        "skmc,md->skcd", col[:, :, :n], g.astype(jnp.bfloat16),
+        "skmc,md->skcd", col[:, :, :n, :cin], g.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
     d_kernel = dW.reshape(S * kx * cin, cout).astype(kernel.dtype)
@@ -605,6 +628,7 @@ def strided_mp3_pack(
     tbl_pad = jnp.concatenate(
         [tbl, jnp.full((TWIN + TPAD,), INT32_MAX, jnp.int32)]
     )
+    tblc = jnp.zeros((n + TWIN + TPAD, 128), jnp.int32).at[:, 0].set(tbl_pad)
     qs_p = jnp.concatenate([qs, jnp.full((S, DW), _CAP_T, jnp.int32)], axis=1)
     qsr = jnp.full((S * 8, m + DW), _CAP_T, jnp.int32).at[::8].set(qs_p)
     xv_p = jnp.concatenate(
@@ -619,7 +643,7 @@ def strided_mp3_pack(
     lvr = jnp.zeros((S * 16, m + DW), jnp.bfloat16).at[::16].set(lv_p)
     # unused in fwd/col modes
     tmc = jnp.zeros((n + TWIN + TPAD, TM_LANES), jnp.bfloat16)
-    return MP3Pack(tbl_pad[:, None], qsr, xvr, lvr, tmc, q_offs)
+    return MP3Pack(tblc, qsr, xvr, lvr, tmc, q_offs)
 
 
 def mp3_strided_conv(kx: int, D: int, wlen: int, feats, kernel,
@@ -671,19 +695,20 @@ def _mp3s_vjp_bwd(kx, D, wlen, interpret, res, g):
         g_col, w_t, preferred_element_type=jnp.float32
     ).astype(feats.dtype)
 
-    f16 = jnp.concatenate(
+    cinp = -(-cin // 128) * 128
+    f16 = _pad_lanes(jnp.concatenate(
         [feats.astype(jnp.bfloat16),
          jnp.zeros((TWIN + TPAD, cin), jnp.bfloat16)], 0
-    )
+    ))
     col = mp_gather_conv(
-        f16, jnp.zeros((S, kx, cin, 1), jnp.bfloat16), pack.tblc,
+        f16, jnp.zeros((S, kx, cinp, 128), jnp.bfloat16), pack.tblc,
         pack.qsr, pack.xvr, pack.lvr, pack.tmc, pack.q_offs,
-        S=S, kx=kx, D=D, wlen=wlen, cout=cout, mode="col",
+        S=S, kx=kx, D=D, wlen=wlen, cout=128, mode="col",
         interpret=interpret,
     )
     m = pack.qsr.shape[1] - D - QPAD
     dW = jnp.einsum(
-        "skmc,md->skcd", col[:, :, :m], g.astype(jnp.bfloat16),
+        "skmc,md->skcd", col[:, :, :m, :cin], g.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
     d_kernel = dW.reshape(S * kx * cin, cout).astype(kernel.dtype)

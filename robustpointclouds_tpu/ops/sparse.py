@@ -702,6 +702,7 @@ def downsample_with_index(
     stride: Sequence[int],
     padding: Sequence[int],
     out_cap: int,
+    forward: bool = True,
 ) -> Tuple[SparseGrid, jnp.ndarray, jnp.ndarray]:
     """Downsample output sites + forward AND inverse neighbor indices from ONE
     candidate sort.
@@ -794,8 +795,9 @@ def downsample_with_index(
         .set(jnp.where(cand_ok, rank, out_cap), mode="drop")[: n * K]
         .reshape(n, K)
     )
-    # forward index = scatter transpose of the inverse
-    idx = inverse_from_forward(inv, out_cap)
+    # forward index = scatter transpose of the inverse (skippable when the
+    # forward gather runs on the merge-path kernel, which needs no index)
+    idx = inverse_from_forward(inv, out_cap) if forward else None
     return out_grid, idx, inv
 
 

@@ -159,6 +159,41 @@ def test_kernel_strided_forward_and_grads():
         rtol=1e-1, atol=1e-1)
 
 
+def test_encoder_integrated_mp_path_matches_xla():
+    """SparseEncoder(use_mp_kernel=True) in interpreter mode must match the
+    XLA-gather encoder: same params (identical ktaps layout), same output.
+    Covers the full wiring — per-grid packs, skipped forward indices on the
+    downsamples, and the kx=1 conv_out geometry."""
+    from robustpointclouds_tpu.nn import sparse_encoder as se
+
+    rng = np.random.RandomState(11)
+    shape = (2, 5, 8, 8)
+    grid = _random_grid(rng, shape=shape, n_pad=96, n_active=70)
+    feats = jnp.where(grid.mask[:, None],
+                      jnp.asarray(rng.randn(96, 4).astype(np.float32)),
+                      0.0)
+    kw = dict(
+        sparse_shape=(5, 8, 8), in_channels=4, base_channels=8,
+        encoder_channels=((8,), (8, 8), (8, 8)),
+        stage_cap_factors=(1.0, 1.0, 1.0), out_cap_factor=1.0,
+        out_channels=8, dtype=jnp.bfloat16,
+    )
+    enc_ref = se.SparseEncoder(use_mp_kernel=False, **kw)
+    enc_mp = se.SparseEncoder(use_mp_kernel=True, **kw)
+    params = enc_ref.init(jax.random.PRNGKey(0), feats, grid, False)
+    ref = enc_ref.apply(params, feats, grid, False)
+    old = se.MP_INTERPRET
+    se.MP_INTERPRET = True
+    try:
+        out = enc_mp.apply(params, feats, grid, False)
+    finally:
+        se.MP_INTERPRET = old
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+
+
 def test_kernel_strided_conv_out_geometry():
     """conv_out geometry: kernel (1,3,1,1) stride (1,2,1,1) pad 0 — S=3
     lead groups with kx=1."""
