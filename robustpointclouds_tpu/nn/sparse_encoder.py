@@ -198,7 +198,15 @@ class SparseEncoder(nn.Module):
                 }
             id_space = int(_np.prod([int(s) for s in g.spatial_shape],
                                     dtype=_np.int64))
-            if cin <= XWIN_MAX_CIN and id_space + _SUBM_KERNEL[-1] < sparse._PACK_CAP:
+            # merge-path ranks (not the packed sort) build subm relations, so
+            # the only bound is int32 id space — no 2^30 batch cliff (with
+            # the ranks A/B-gated off, the packed sort's cap returns)
+            xwin_cap = (
+                sparse.INT32_MAX - (1 << 26)
+                if sparse.MP_RANKS
+                else sparse._PACK_CAP
+            )
+            if cin <= XWIN_MAX_CIN and id_space + _SUBM_KERNEL[-1] < xwin_cap:
                 return {
                     "xwin": sparse.neighbor_xwin_info(
                         g, g.coords, g.mask, _SUBM_KERNEL, (1, 1, 1, 1), (0, 1, 1, 1)

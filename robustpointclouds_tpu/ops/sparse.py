@@ -111,8 +111,77 @@ def kernel_offsets(kernel_size: Sequence[int]) -> np.ndarray:
 
 _PACK_CAP = (1 << 30) - 1  # ids must fit 30 bits to pack (value, tag) in int32
 
+# A/B gate for the sort-free submanifold rank path (merge_path_ranks).
+# Default OFF: measured 43 ms vs the packed sort's 12.6 ms for the 9-group
+# 96k-row load on v5e (tools/bench_mp_ranks) — the batched compare-reduce
+# loses to lax.sort despite doing asymptotically less work. The big-id-space
+# case (merged batch B >= 12) goes through the WIDE two-key sort instead.
+import os as _os
 
-def _rank_and_hit(sorted_ids: jnp.ndarray, q: jnp.ndarray):
+MP_RANKS = _os.environ.get("RPC_MP_RANKS", "0") == "1"
+
+
+# value band for the WIDE (two-key) rank sort: real ids stay unclamped (all
+# KITTI-scale id spaces fit int32 minus this margin), sentinels clamp here so
+# successor arithmetic cannot overflow int32
+_WIDE_BAND = INT32_MAX - (1 << 26)
+
+
+def _sorted_rank_scan(sorted_ids, q, wide):
+    """Shared core: one sort -> (keys_s values, payload_s, is_q, ins, next_table).
+
+    Packed mode (wide=False) packs (value << 1 | is_table) into int32 for a
+    single-key sort — requires ids < 2^30. Wide mode sorts (value, is_table)
+    as TWO keys (queries order before equal table entries either way, i.e.
+    'left' rank semantics) — ids only need int32, lifting the 2^30 cap for
+    merged batches B >= 12 at ~the cost of one extra key column in the sort.
+    Returned `keys` are id-space VALUES in wide mode and packed keys
+    otherwise; `next_table` is in the same unit.
+    """
+    n = sorted_ids.shape[0]
+    m = q.shape[0]
+    payload = jnp.concatenate(
+        [jnp.zeros((n,), jnp.int32), jnp.arange(1, m + 1, dtype=jnp.int32)]
+    )
+    if wide:
+        vals = jnp.concatenate(
+            [
+                jnp.minimum(sorted_ids, _WIDE_BAND),
+                jnp.clip(q, -(1 << 26), _WIDE_BAND),
+            ]
+        )
+        tags = jnp.concatenate(
+            [jnp.ones((n,), jnp.int32), jnp.zeros((m,), jnp.int32)]
+        )
+        keys_s, _, pay_s = jax.lax.sort((vals, tags, payload), num_keys=2)
+        sentinel = _WIDE_BAND
+    else:
+        keys = jnp.concatenate(
+            [
+                jnp.minimum(sorted_ids, _PACK_CAP) * 2 + 1,
+                jnp.minimum(q, _PACK_CAP) * 2,
+            ]
+        )
+        keys_s, pay_s = jax.lax.sort((keys, payload), num_keys=1)
+        sentinel = INT32_MAX
+    is_q = pay_s > 0
+    q_before_incl = jnp.cumsum(is_q.astype(jnp.int32))
+    ins = jnp.arange(n + m, dtype=jnp.int32) - (q_before_incl - 1)
+    table_keys = jnp.where(is_q, sentinel, keys_s)
+    next_table = jax.lax.associative_scan(jnp.minimum, table_keys, reverse=True)
+    return keys_s, pay_s, is_q, ins, next_table
+
+
+def _scatter_to_query_order(packed, pay_s, is_q, m):
+    out = (
+        jnp.zeros((m + 1,), jnp.int32)
+        .at[jnp.where(is_q, pay_s, 0)]
+        .set(jnp.where(is_q, packed, 0))[1:]
+    )
+    return out
+
+
+def _rank_and_hit(sorted_ids: jnp.ndarray, q: jnp.ndarray, wide: bool = False):
     """(insertion rank, exact-hit) for every query via ONE key+payload sort —
     per-query binary search gathers scalars, and each 4-byte load pads to a
     full TPU tile (~10x slower measured).
@@ -121,41 +190,27 @@ def _rank_and_hit(sorted_ids: jnp.ndarray, q: jnp.ndarray):
     table entries ('left' semantics). The hit test is fused into the same
     pass: a query hits iff the next table key at-or-after it (reverse
     cumulative min) equals its own value — no extra gather. Rank and hit ride
-    one packed scatter back to query order. Requires ids < 2^30 (checked by
-    the caller; KITTI's batched id space is ~5.5e8)."""
-    n = sorted_ids.shape[0]
+    one packed scatter back to query order. Requires ids < 2^30 unless
+    `wide` (two-key sort, see :func:`_sorted_rank_scan`)."""
     m = q.shape[0]
-    keys = jnp.concatenate(
-        [
-            jnp.minimum(sorted_ids, _PACK_CAP) * 2 + 1,
-            jnp.minimum(q, _PACK_CAP) * 2,
-        ]
-    )
-    payload = jnp.concatenate(
-        [jnp.zeros((n,), jnp.int32), jnp.arange(1, m + 1, dtype=jnp.int32)]
-    )
-    keys_s, pay_s = jax.lax.sort((keys, payload), num_keys=1)
-    is_q = pay_s > 0
-    q_before_incl = jnp.cumsum(is_q.astype(jnp.int32))
-    ins = jnp.arange(n + m, dtype=jnp.int32) - (q_before_incl - 1)
-    table_keys = jnp.where(is_q, INT32_MAX, keys_s)
-    next_table = jax.lax.associative_scan(jnp.minimum, table_keys, reverse=True)
-    hit_sorted = (next_table == keys_s + 1) & is_q
+    keys_s, pay_s, is_q, ins, next_table = _sorted_rank_scan(sorted_ids, q, wide)
+    if wide:
+        hit_sorted = (next_table == keys_s) & is_q
+    else:
+        hit_sorted = (next_table == keys_s + 1) & is_q
     packed = ins * 2 + hit_sorted.astype(jnp.int32)
-    out = (
-        jnp.zeros((m + 1,), jnp.int32)
-        .at[jnp.where(is_q, pay_s, 0)]
-        .set(jnp.where(is_q, packed, 0))[1:]
-    )
+    out = _scatter_to_query_order(packed, pay_s, is_q, m)
     return out // 2, (out % 2) == 1
 
 
-def _rank_and_succ_delta(sorted_ids: jnp.ndarray, q: jnp.ndarray, dmax: int):
+def _rank_and_succ_delta(
+    sorted_ids: jnp.ndarray, q: jnp.ndarray, dmax: int, wide: bool = False
+):
     """(insertion rank, clamped successor delta) per query via one sort.
 
-    Same packed-sort machinery as :func:`_rank_and_hit`, but instead of an
-    exact-hit bit it returns `d0 = min(ids[rank] - q, dmax)` — the id distance
-    from the query to the first table entry at-or-after it (dmax when none or
+    Same machinery as :func:`_rank_and_hit`, but instead of an exact-hit bit
+    it returns `d0 = min(ids[rank] - q, dmax)` — the id distance from the
+    query to the first table entry at-or-after it (dmax when none or
     farther). `d0` rides the SAME int32 scatter as the rank (rank needs ~21
     bits for KITTI sizes, d0 needs ceil(log2(dmax+1))), so the successor value
     costs no extra gather — the naive alternative, gathering ids[rank] row by
@@ -165,30 +220,16 @@ def _rank_and_succ_delta(sorted_ids: jnp.ndarray, q: jnp.ndarray, dmax: int):
     m = q.shape[0]
     span = dmax + 1
     assert (n + m) * 2 * span < INT32_MAX, "rank+delta won't pack in int32"
-    keys = jnp.concatenate(
-        [
-            jnp.minimum(sorted_ids, _PACK_CAP) * 2 + 1,
-            jnp.minimum(q, _PACK_CAP) * 2,
-        ]
-    )
-    payload = jnp.concatenate(
-        [jnp.zeros((n,), jnp.int32), jnp.arange(1, m + 1, dtype=jnp.int32)]
-    )
-    keys_s, pay_s = jax.lax.sort((keys, payload), num_keys=1)
-    is_q = pay_s > 0
-    q_before_incl = jnp.cumsum(is_q.astype(jnp.int32))
-    ins = jnp.arange(n + m, dtype=jnp.int32) - (q_before_incl - 1)
-    table_keys = jnp.where(is_q, INT32_MAX, keys_s)
-    next_table = jax.lax.associative_scan(jnp.minimum, table_keys, reverse=True)
-    # packed table key = v*2+1, packed query key = q*2 -> delta in id space
-    # is (next_table - 1)//2 - key//2; clamp BEFORE packing (sentinel-safe)
-    d0 = jnp.clip((next_table - 1) // 2 - keys_s // 2, 0, dmax)
+    keys_s, pay_s, is_q, ins, next_table = _sorted_rank_scan(sorted_ids, q, wide)
+    if wide:
+        # values are clamped to a band, so the subtraction cannot overflow
+        d0 = jnp.clip(next_table - keys_s, 0, dmax)
+    else:
+        # packed table key = v*2+1, packed query key = q*2 -> delta in id
+        # space is (next_table - 1)//2 - key//2; clamp BEFORE packing
+        d0 = jnp.clip((next_table - 1) // 2 - keys_s // 2, 0, dmax)
     packed = ins * span + d0
-    out = (
-        jnp.zeros((m + 1,), jnp.int32)
-        .at[jnp.where(is_q, pay_s, 0)]
-        .set(jnp.where(is_q, packed, 0))[1:]
-    )
+    out = _scatter_to_query_order(packed, pay_s, is_q, m)
     return out // span, out % span
 
 
@@ -196,7 +237,8 @@ def merge_path_ranks(
     sorted_ids: jnp.ndarray,
     sorted_queries: jnp.ndarray,
     dmax: int,
-    tile: int = 1024,
+    tile: int = None,
+    cap: int = None,
 ):
     """(rank, clamped successor delta) for a SORTED query stream — no sort.
 
@@ -204,35 +246,57 @@ def merge_path_ranks(
     case, where each tap group's queries (ids + const offset) are already in
     output order: merge-path diagonal partitioning of (table, queries) gives
     tiles whose static table window PROVABLY contains every owned query's
-    rank (both streams sorted), so ranks come from an in-window [D, D]
-    compare + row-sum and the successor from an in-window masked min — VPU
-    work instead of a (1+G)N-key bitonic sort. Opt-in groundwork for the
-    round-3 index path (PARITY.md design notes); numerically exact vs the
-    packed sort (tested).
+    rank (both streams sorted), so ranks come from an in-window compare +
+    row-sum and the successor from an in-window masked min — VPU work instead
+    of a (1+G)N-key bitonic sort.
+
+    Fully batched and SCATTER-FREE: every tile's window is read as one wide
+    dynamic slice, the [T, D, W] compare fuses into its reduces ((n+m)·W VPU
+    compares total), and results land in query order through tile-boundary
+    scans (a T-element scatter + two cumulative scans recover each query's
+    owning tile — TPU scatters of m elements serialize, so none are issued)
+    plus ONE flat [m] gather. The default D keeps W = D + dmax + 1 inside
+    one 128-lane tile, which is what the reduce pads to anyway. Exact-parity
+    with the packed sort is tested.
+
+    Unlike the packed sort this does NOT pack (value, tag) into int32, so ids
+    only need `id_space + dmax < cap` — callers with >2^30 id spaces (large
+    merged batches) pass a bigger `cap`.
 
     Args:
         sorted_ids: [n] ascending unique int32 (padding = INT32_MAX).
-        sorted_queries: [m] ascending int32 (sentinels INT32_MAX at the end
-            resolve to rank = #real-ids via the clamped comparison; callers
-            mask sentinels like they do for the sort path).
+        sorted_queries: [m] ascending int32 (may be negative at the low end —
+            integer semantics are exact, matching the packed sort; sentinels
+            at the high end resolve to rank = #real-ids; callers mask).
         dmax: clamp for the successor delta (kx for the xwin use).
-        tile: diagonal tile size D.
+        tile: diagonal tile size D (default: 128 - dmax - 1).
+        cap: value clamp for sentinel arithmetic (default 2^30-1, matching
+            the packed sort). Must satisfy cap + max(query) - min(0, min
+            query) < 2^31 on the caller's side.
     Returns:
         (rank [m] int32 in [0, n], d0 [m] int32 in [0, dmax]).
     """
     n = sorted_ids.shape[0]
     m = sorted_queries.shape[0]
-    D = int(tile)
     pad = dmax + 1
+    if cap is None:
+        cap = _PACK_CAP
+    cap = int(cap)
+    if tile is None:
+        tile = max(128 - pad, 32)
+    D = int(tile)
+    W = D + pad
     n_tiles = -(-(n + m) // D)
+    span = dmax + 1
+    assert (n + 1) * span < INT32_MAX, "rank+delta won't pack in int32"
 
     # clamp values once so sentinel arithmetic stays in-range (exact hits on
     # the clamped sentinel give d0=0 like the packed sort; callers mask)
-    tbl = jnp.minimum(sorted_ids, _PACK_CAP)
-    qs_v = jnp.minimum(sorted_queries, _PACK_CAP)
-    # table window slices need D + pad entries; pad the table high
-    tbl_pad = jnp.concatenate([tbl, jnp.full((D + pad,), _PACK_CAP, jnp.int32)])
-    q_pad = jnp.concatenate([qs_v, jnp.full((D,), _PACK_CAP, jnp.int32)])
+    tbl = jnp.minimum(sorted_ids, cap)
+    qs_v = jnp.minimum(sorted_queries, cap)
+    # table window slices need W entries; pad the table high
+    tbl_pad = jnp.concatenate([tbl, jnp.full((W,), cap, jnp.int32)])
+    q_pad = jnp.concatenate([qs_v, jnp.full((D,), cap, jnp.int32)])
 
     # merge-path boundaries: for diagonal d = tau*D, the number of queries
     # consumed q_off satisfies queries[q_off-1] <= table[d-q_off] with ties
@@ -248,7 +312,7 @@ def merge_path_ranks(
         mid = (lo + hi + 1) // 2  # candidate q_off
         # take query mid-1 before table[diag-mid] iff q[mid-1] <= t[diag-mid]
         q_prev = q_pad[jnp.maximum(mid - 1, 0)]
-        t_at = tbl_pad[jnp.clip(diag - mid, 0, n + D + pad - 1)]
+        t_at = tbl_pad[jnp.clip(diag - mid, 0, n + W - 1)]
         ok = (mid == 0) | (q_prev <= t_at)
         return (jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1))
 
@@ -256,29 +320,37 @@ def merge_path_ranks(
     lo, hi = jax.lax.fori_loop(0, steps, bs_body, (lo, hi))
     q_offs = lo  # [n_tiles+1] queries consumed before each tile boundary
 
-    rank_out = jnp.zeros((m + D,), jnp.int32)
-    d0_out = jnp.zeros((m + D,), jnp.int32)
+    q_off = q_offs[:-1]                # [T]
+    t_off = taus[:-1] * D - q_off      # [T], >= 0 by the boundary bounds
+    # wide dynamic slices lower to a gather of T rows x W consecutive
+    # elements (row-count-bound: ~T*3.3ns), not T*W scalar gathers
+    qw = jax.vmap(lambda o: jax.lax.dynamic_slice(q_pad, (o,), (D,)))(q_off)
+    tw = jax.vmap(lambda o: jax.lax.dynamic_slice(tbl_pad, (o,), (W,)))(t_off)
+    # rank = t_off + #(window table < q); the window ascends, so the
+    # successor (first t >= q) sits AT index rel — same fused compare feeds
+    # both reduces, nothing [T, D, W]-shaped is materialized
+    less = tw[:, None, :] < qw[:, :, None]  # [T, D, W] — fuses into reduces
+    rel = jnp.sum(less, axis=-1, dtype=jnp.int32)
+    succ = jnp.min(jnp.where(less, cap, tw[:, None, :]), axis=-1)
+    rank_t = jnp.clip(t_off[:, None] + rel, 0, n)
+    d0_t = jnp.clip(succ - qw, 0, dmax).astype(jnp.int32)
 
-    def tile_body(carry, tau):
-        rank_out, d0_out = carry
-        q_off = q_offs[tau]
-        t_off = tau * D - q_off
-        qw = jax.lax.dynamic_slice(q_pad, (q_off,), (D,))
-        tw = jax.lax.dynamic_slice(tbl_pad, (jnp.maximum(t_off, 0),), (D + pad,))
-        # rank = t_off + #(window table < q); successor = min window t >= q
-        less = tw[None, :] < qw[:, None]          # [D, D+pad]
-        rel = jnp.sum(less, axis=1).astype(jnp.int32)
-        succ = jnp.min(jnp.where(~less, tw[None, :], _PACK_CAP), axis=1)
-        rank_t = jnp.clip(jnp.maximum(t_off, 0) + rel, 0, n)
-        d0_t = jnp.clip(succ - qw, 0, dmax).astype(jnp.int32)
-        rank_out = jax.lax.dynamic_update_slice(rank_out, rank_t, (q_off,))
-        d0_out = jax.lax.dynamic_update_slice(d0_out, d0_t, (q_off,))
-        return (rank_out, d0_out), 0
-
-    (rank_out, d0_out), _ = jax.lax.scan(
-        tile_body, (rank_out, d0_out), jnp.arange(n_tiles, dtype=jnp.int32)
-    )
-    return rank_out[:m], d0_out[:m]
+    # tile tau owns queries [q_offs[tau], q_offs[tau+1]) — disjoint and
+    # contiguous, so each query's owner is recoverable WITHOUT an m-element
+    # scatter (TPU scatters serialize): scatter the T-2 interior boundaries
+    # (counts + positions, duplicates from empty tiles accumulate/retake
+    # correctly) and scan.
+    bnd = q_offs[1:-1]
+    tau_q = jnp.cumsum(
+        jnp.zeros((m + 1,), jnp.int32).at[bnd].add(1, mode="drop")[:m]
+    )  # [m] owning tile = #(boundaries <= i)
+    base = jax.lax.cummax(
+        jnp.zeros((m + 1,), jnp.int32).at[bnd].max(bnd, mode="drop")[:m]
+    )  # [m] q_offs[tau_q] = largest boundary <= i (0 before the first)
+    pos = jnp.arange(m, dtype=jnp.int32) - base
+    packed = (rank_t * span + d0_t).reshape(-1)
+    out = packed[tau_q * D + pos]  # the one per-query gather
+    return out // span, out % span
 
 
 def lookup(grid: SparseGrid, query_flat: jnp.ndarray) -> jnp.ndarray:
@@ -290,13 +362,8 @@ def lookup(grid: SparseGrid, query_flat: jnp.ndarray) -> jnp.ndarray:
     shape = query_flat.shape
     q = query_flat.reshape(-1)
     id_space = int(np.prod([int(s) for s in grid.spatial_shape], dtype=np.int64))
-    if id_space < _PACK_CAP:
-        j, hit = _rank_and_hit(grid.flat_ids, q)
-        hit = hit & (q != INT32_MAX)
-    else:
-        j = jnp.searchsorted(grid.flat_ids, q, method="sort").astype(jnp.int32)
-        j_safe = jnp.clip(j, 0, n - 1)
-        hit = (grid.flat_ids[j_safe] == q) & (q != INT32_MAX)
+    j, hit = _rank_and_hit(grid.flat_ids, q, wide=id_space >= _PACK_CAP)
+    hit = hit & (q != INT32_MAX)
     return jnp.where(hit, jnp.clip(j, 0, n - 1), n).reshape(shape)
 
 
@@ -342,6 +409,9 @@ def _neighbor_index_windowed(in_grid, out_coords, out_mask, kernel_size, stride,
     n = in_grid.flat_ids.shape[0]
     group_offs = kernel_offsets(kernel_size[:-1])  # [G, ndim-1]
     G = group_offs.shape[0]
+    subm = MP_RANKS and (out_coords is in_grid.coords) and all(
+        int(s) == 1 for s in stride
+    )
 
     base = [
         out_coords[:, a] * int(stride[a]) - int(padding[a]) for a in range(ndim)
@@ -360,8 +430,36 @@ def _neighbor_index_windowed(in_grid, out_coords, out_mask, kernel_size, stride,
     q0 = jnp.stack(q0_cols, axis=1)           # [N, G]
     lead_valid = jnp.stack(lead_valid_cols, 1)  # [N, G]
 
-    p, _ = _rank_and_hit(in_grid.flat_ids, q0.reshape(-1))
-    p = p.reshape(q0.shape)  # [N, G] insertion ranks in [0, n]
+    if subm:
+        # sorted per-group streams (ids + const delta) -> sort-free batched
+        # merge-path ranks; also lifts the 2^30 pack cap (id_space < cap)
+        deltas = [
+            sum(
+                (int(group_offs[g, a]) - int(padding[a])) * int(strides[a])
+                for a in range(ndim - 1)
+            )
+            - int(padding[ndim - 1])
+            for g in range(G)
+        ]
+        dspan = max(abs(d) for d in deltas)
+        cap = INT32_MAX - dspan - kx - 2
+        id_space = int(np.prod([int(s) for s in in_shape], dtype=np.int64))
+        assert id_space + kx < cap, "flat id space too large for int32"
+        ids_c = jnp.minimum(in_grid.flat_ids, cap)
+        q0s = jnp.stack([ids_c + int(d) for d in deltas])  # [G, n]
+        p, _ = jax.vmap(
+            lambda q: merge_path_ranks(in_grid.flat_ids, q, 1, cap=cap)
+        )(q0s)
+        p = p.T  # [N, G]
+        # raw query values for the target arithmetic below (garbage where
+        # invalid — masked by lead_valid exactly like the sort path's MAX)
+        q0 = jnp.where(lead_valid, q0s.T, INT32_MAX)
+    else:
+        id_space = int(np.prod([int(s) for s in in_shape], dtype=np.int64))
+        p, _ = _rank_and_hit(
+            in_grid.flat_ids, q0.reshape(-1), wide=id_space >= _PACK_CAP
+        )
+        p = p.reshape(q0.shape)  # [N, G] insertion ranks in [0, n]
 
     # shifted id window table [n+1, kx]: row i = ids[i .. i+kx-1]
     ids_pad = jnp.concatenate(
@@ -435,9 +533,14 @@ def neighbor_xwin_info(
 ) -> XWindowInfo:
     """Neighbor relation for the x-window-table gather conv.
 
-    One rank sort of (1 + G)·N keys; the successor delta d0 (which table row
-    within the kx-wide window the rank points at) rides the same sort via
-    :func:`_rank_and_succ_delta`, so no per-query id gather is needed.
+    Submanifold case (out == in grid, unit strides): each tap group's query
+    stream is ids + const delta — already sorted — so ranks come from the
+    sort-free batched :func:`merge_path_ranks` per group (VPU compare-reduce,
+    measured far below the (1+G)·N-key rank sort it replaces) and the id
+    space only needs to fit int32 (no 2^30 pack cap — large merged batches
+    stay on this path). Otherwise: one packed rank sort of (1 + G)·N keys;
+    the successor delta d0 (which table row within the kx-wide window the
+    rank points at) rides the same sort via :func:`_rank_and_succ_delta`.
     """
     ndim = in_grid.ndim
     stride = (1,) * ndim if stride is None else stride
@@ -451,28 +554,62 @@ def neighbor_xwin_info(
     # NOTE: no constraint relating W and kx — taps are matched purely by flat
     # id (unique), and out-of-range x taps are excluded by xvalid, so windows
     # that span multiple y rows are handled exactly
-    assert id_space + kx < _PACK_CAP, "flat id space too large for packed rank sort"
     group_offs = kernel_offsets(kernel_size[:-1])  # [G, ndim-1]
     G = group_offs.shape[0]
+    subm = MP_RANKS and (out_coords is in_grid.coords) and all(
+        int(s) == 1 for s in stride
+    )
 
     base = [out_coords[:, a] * int(stride[a]) - int(padding[a]) for a in range(ndim)]
     last = base[ndim - 1]
-    q0_cols, valid_cols = [], []
+    valid_cols = []
     for g in range(G):
-        flat = last
         valid = out_mask
         for a in range(ndim - 1):
             q = base[a] + int(group_offs[g, a])
             valid = valid & (q >= 0) & (q < in_shape[a])
-            flat = flat + q * int(strides[a])
-        q0_cols.append(jnp.where(valid, flat, INT32_MAX).astype(jnp.int32))
         valid_cols.append(valid)
-    q0 = jnp.stack(q0_cols, axis=1)        # [N, G]
     q0_valid = jnp.stack(valid_cols, 1)    # [N, G]
 
-    p, d0 = _rank_and_succ_delta(in_grid.flat_ids, q0.reshape(-1), kx)
-    p = p.reshape(q0.shape)
-    d0 = d0.reshape(q0.shape)
+    if subm:
+        # per-group queries = ids + delta_g (pure id arithmetic keeps them
+        # sorted; bounds validity applies AFTER the ranks, exactly like the
+        # sort path's xvalid wrap handling)
+        deltas = [
+            sum(
+                (int(group_offs[g, a]) - int(padding[a])) * int(strides[a])
+                for a in range(ndim - 1)
+            )
+            - int(padding[ndim - 1])
+            for g in range(G)
+        ]
+        dspan = max(abs(d) for d in deltas)
+        cap = INT32_MAX - dspan - kx - 2
+        assert id_space + kx < cap, "flat id space too large for int32"
+        ids_c = jnp.minimum(in_grid.flat_ids, cap)
+        q0s = jnp.stack([ids_c + int(d) for d in deltas])  # [G, n], each sorted
+        p, d0 = jax.vmap(
+            lambda q: merge_path_ranks(in_grid.flat_ids, q, kx, cap=cap)
+        )(q0s)
+        p = p.T
+        d0 = d0.T
+    else:
+        wide = id_space + kx >= _PACK_CAP
+        assert id_space + kx < _WIDE_BAND, "flat id space too large for int32 rank sort"
+        q0_cols = []
+        for g in range(G):
+            flat = last
+            for a in range(ndim - 1):
+                flat = flat + (base[a] + int(group_offs[g, a])) * int(strides[a])
+            q0_cols.append(
+                jnp.where(q0_valid[:, g], flat, INT32_MAX).astype(jnp.int32)
+            )
+        q0 = jnp.stack(q0_cols, axis=1)        # [N, G]
+        p, d0 = _rank_and_succ_delta(
+            in_grid.flat_ids, q0.reshape(-1), kx, wide=wide
+        )
+        p = p.reshape(q0.shape)
+        d0 = d0.reshape(q0.shape)
     hit = q0_valid & (d0 < kx) & (p < n)
     rows = jnp.where(hit, p * kx + d0, n * kx).astype(jnp.int32)
 
@@ -512,8 +649,13 @@ def neighbor_index(
         kx = kernel_size[-1]
         id_space = int(np.prod([int(s) for s in in_grid.spatial_shape], dtype=np.int64))
         # last-axis taps are consecutive in INPUT coords (x = o*s - p + dx)
-        # for any stride, so the windowed form applies whenever kx > 1
-        if kx > 1 and id_space < _PACK_CAP:
+        # for any stride, so the windowed form applies whenever kx > 1.
+        # Submanifold relations rank via merge-path (no pack cap), so only
+        # the non-subm windowed form needs ids in 30 bits.
+        subm = MP_RANKS and (out_coords is in_grid.coords) and all(
+            int(s) == 1 for s in stride
+        )
+        if kx > 1 and id_space < _WIDE_BAND:
             return _neighbor_index_windowed(
                 in_grid, out_coords, out_mask, kernel_size, stride, padding
             )

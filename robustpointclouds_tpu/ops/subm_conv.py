@@ -11,15 +11,28 @@ and transposed weights — no scatter anywhere:
     d_feats[j] = sum_k  d_out[nbr_{-k}(j)] @ W_k^T
                = img2col(d_out, idx[:, ::-1]) @ W_rev^T
 
-d_W re-gathers the forward col (same cost class as the forward; the col is
-never stored, which also removes the biggest remat buffer).
+d_W rides the SAME g-col gather: the mirror bijection turns
+sum_i x[idx[i,k]]^T g[i] into x^T @ g_col[:, k'] (k' = k for the
+reversed-index dense gather, K-1-k for the un-mirrored xwin gather, k for
+the strided inverse-index gather) — so the whole backward costs ONE gather,
+not two, and the forward col is never stored OR re-gathered.
 """
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+# A/B gate: d_W from the backward's own g-col gather (the mirror identity)
+# vs the round-2 col re-gather. Default OFF — counterintuitively, removing
+# the dW re-gather measures SLOWER at the step level (+19 ms/step at B=6 on
+# v5e, tools/bench_r3_step): the re-gather overlaps the MXU matmuls on the
+# gather engine, while the flat dot_general contends for the MXU and
+# lengthens the critical path. Kept (exactness-tested) for schedulers where
+# gather bandwidth, not MXU, is the binding resource.
+DW_FROM_GCOL = _os.environ.get("RPC_DW_GCOL", "0") == "1"
 
 
 def _gather_col(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -39,6 +52,27 @@ def subm_conv(feats: jnp.ndarray, kernel: jnp.ndarray, idx: jnp.ndarray) -> jnp.
     """
     col = _gather_col(feats, idx)
     return jnp.dot(col, kernel, preferred_element_type=jnp.float32).astype(feats.dtype)
+
+
+def _dw_from_gcol(g_col, feats, k, cout, reverse_slots):
+    """d_W = g_col^T x, ONE explicit dot_general contracting the row axis.
+
+    g_col [N, K*Cout] is the backward's existing cotangent gather; feats
+    [N, Cin]. An einsum with a k batch axis makes XLA broadcast feats to
+    [K, N, Cin] (measured +4 ms/conv) — the flat contraction avoids that.
+    `reverse_slots=True` flips the slot axis of the SMALL [K, Cout, Cin]
+    result (for backwards whose g_col is un-mirrored, the mirror pairing
+    d_kernel[s] ~ slot K-1-s); reversing 100 KB is free, reversing the
+    [N, K*Cout] gather is not.
+    """
+    cin = feats.shape[1]
+    m = jax.lax.dot_general(
+        g_col, feats, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(k, cout, cin)  # [K*Cout, Cin] -> [K, Cout, Cin]
+    if reverse_slots:
+        m = m[::-1]
+    return jnp.transpose(m, (0, 2, 1)).reshape(k * cin, cout)
 
 
 def _fwd(feats, kernel, idx):
@@ -63,8 +97,16 @@ def _bwd(res, g):
     g_col = _gather_col(g, idx[:, ::-1])  # [N, K*Cout], slot k = mirrored tap
     d_feats = jnp.dot(g_col, w_t, preferred_element_type=jnp.float32).astype(feats.dtype)
 
-    col = _gather_col(feats, idx)
-    d_kernel = jnp.dot(col.T, g, preferred_element_type=jnp.float32).astype(kernel.dtype)
+    # d_W from the SAME gather — no col re-gather. The mirror bijection
+    # idx[i,k]=j <=> idx[j,K-1-k]=i turns sum_i x[idx[i,k]]^T g[i] into
+    # sum_j x[j]^T g[idx[j,K-1-k]] = x^T @ g_col[:, k] (the reversed-index
+    # gather already holds the mirrored slot); misses hit g's zero row on
+    # both sides, so the identity is exact including padding rows.
+    if DW_FROM_GCOL:
+        d_kernel = _dw_from_gcol(g_col, feats, k, cout, reverse_slots=False).astype(kernel.dtype)
+    else:
+        col = _gather_col(feats, idx)
+        d_kernel = jnp.dot(col.T, g, preferred_element_type=jnp.float32).astype(kernel.dtype)
     return d_feats, d_kernel, None
 
 
@@ -121,15 +163,33 @@ def x_window_table(feats: jnp.ndarray, ids: jnp.ndarray, kx: int) -> jnp.ndarray
     return jnp.concatenate([tbl, jnp.zeros((1, kx * c), feats.dtype)], axis=0)
 
 
+# widest channel slice whose kx*C bf16 row stays within the ~256 B
+# row-count-bound regime of the TPU gather engine (measured: rows up to
+# ~256 B cost the same ~3.3 ns/row; wider goes byte-bound and loses)
+XWIN_SPLIT = int(_os.environ.get("RPC_XWIN_SPLIT", "32"))
+
+
 def _gather_col_xwin(feats, ids, rows, xvalid, kx):
-    """x-window-table img2col: ONE gather of G*N rows of width kx*C.
+    """x-window-table img2col: gathers of G*N rows of width kx*C.
 
     Returns col [N, G*kx*C] in kernel_offsets order (groups-major, dx-minor),
     identical to _gather_col on the dense index. The xvalid multiply fuses
     into the gather consumer, so its cost is VPU-only.
+
+    Channels wider than XWIN_SPLIT are gathered in halves so every row stays
+    row-count-bound: 2 x G*N narrow rows beat the dense form's K*N rows
+    (18N vs 27N for the 3^3 kernel) where one G*N wide-row gather would go
+    byte-bound and lose (measured 1.9x at 64ch).
     """
     n, c = feats.shape
     nr, g = rows.shape
+    if c > XWIN_SPLIT and c % 2 == 0:
+        h = c // 2
+        a = _gather_col_xwin(feats[:, :h], ids, rows, xvalid, kx)
+        b = _gather_col_xwin(feats[:, h:], ids, rows, xvalid, kx)
+        return jnp.concatenate(
+            [a.reshape(nr, g * kx, h), b.reshape(nr, g * kx, h)], axis=-1
+        ).reshape(nr, g * kx * c)
     tbl = x_window_table(feats, ids, kx)
     col = tbl[rows].reshape(nr, g, kx, c)
     col = col * xvalid[:, None, :, None].astype(feats.dtype)
@@ -166,8 +226,14 @@ def _sxw_bwd(kx, res, g):
     g_col = _gather_col_xwin(g, ids, rows, xvalid, kx)
     d_feats = jnp.dot(g_col, w_rev, preferred_element_type=jnp.float32).astype(feats.dtype)
 
-    col = _gather_col_xwin(feats, ids, rows, xvalid, kx)
-    d_kernel = jnp.dot(col.T, g, preferred_element_type=jnp.float32).astype(kernel.dtype)
+    # d_W from the same gather (see subm _bwd): here g_col's slots are
+    # UN-mirrored (the mirror lives in w_rev), so d_kernel[s] pairs x with
+    # slot K-1-s — reverse the slot axis instead of re-gathering the col.
+    if DW_FROM_GCOL:
+        d_kernel = _dw_from_gcol(g_col, feats, k, cout, reverse_slots=True).astype(kernel.dtype)
+    else:
+        col = _gather_col_xwin(feats, ids, rows, xvalid, kx)
+        d_kernel = jnp.dot(col.T, g, preferred_element_type=jnp.float32).astype(kernel.dtype)
     return d_feats, d_kernel, None, None, None
 
 
@@ -201,8 +267,13 @@ def _stxw_bwd(res, g):
     w_t = jnp.transpose(kernel.reshape(k, cin, cout), (0, 2, 1)).reshape(k * cout, cin)
     g_col = _gather_col(g, inv_idx)  # [N_in, K*Cout], tap-aligned
     d_feats = jnp.dot(g_col, w_t, preferred_element_type=jnp.float32).astype(feats.dtype)
-    col = _gather_col_xwin(feats, ids, rows, xvalid, kx)
-    d_kernel = jnp.dot(col.T, g, preferred_element_type=jnp.float32).astype(kernel.dtype)
+    # d_W from the same gather: inv is the exact transpose of idx per tap
+    # (collision-free), so sum_i x[idx[i,k]]^T g[i] = x^T @ g_col[:, k]
+    if DW_FROM_GCOL:
+        d_kernel = _dw_from_gcol(g_col, feats, k, cout, reverse_slots=False).astype(kernel.dtype)
+    else:
+        col = _gather_col_xwin(feats, ids, rows, xvalid, kx)
+        d_kernel = jnp.dot(col.T, g, preferred_element_type=jnp.float32).astype(kernel.dtype)
     return d_feats, d_kernel, None, None, None, None
 
 
@@ -245,8 +316,12 @@ def _st_bwd(res, g):
     w_t = jnp.transpose(kernel.reshape(k, cin, cout), (0, 2, 1)).reshape(k * cout, cin)
     g_col = _gather_col(g, inv_idx)  # [N_in, K*Cout], tap-aligned (no mirror)
     d_feats = jnp.dot(g_col, w_t, preferred_element_type=jnp.float32).astype(feats.dtype)
-    col = _gather_col(feats, idx)
-    d_kernel = jnp.dot(col.T, g, preferred_element_type=jnp.float32).astype(kernel.dtype)
+    # d_W from the same gather (see strided_conv_xwin backward)
+    if DW_FROM_GCOL:
+        d_kernel = _dw_from_gcol(g_col, feats, k, cout, reverse_slots=False).astype(kernel.dtype)
+    else:
+        col = _gather_col(feats, idx)
+        d_kernel = jnp.dot(col.T, g, preferred_element_type=jnp.float32).astype(kernel.dtype)
     return d_feats, d_kernel, None, None
 
 

@@ -1,68 +1,125 @@
-"""Quantified attack effectiveness in the DEFAULT tier (VERDICT r2 weak #4).
+"""Default-tier quantified attack effectiveness (the reference's core claim).
 
-The reference's stated target is a 15-25% mAP drop under the forced-
-perturbation attack (its config comment, adversarial-second_hv_secfpn_8xb6-
-80e_kitti-3d-3class.py:70-76). Full-scale numbers need the real dataset;
-this scaled proxy pins the *mechanism* with a concrete number: overfit the
-tiny adversarial model on one batch, then require the eval-profile attack
-(bounds 10-25x the training envelope, voxel_perturber.py:215-238) to cost at
-least 15% of the clean AP on the best-detected class AND at least one
-matched GT (2.5 AP under devkit R40 small-sample semantics).
+The reference states a 15-25% mAP drop under attack as the adversarial
+training target (reference configs/adversarial/adversarial-second_hv_secfpn_
+8xb6-80e_kitti-3d-3class.py:70-76).  The heavy-tier test
+(test_attack_effectiveness.py) runs 700 per-dispatch steps; this default-tier
+version proves the same quantified claim cheaply by fusing the overfit loop
+into a lax.scan — ONE compile (persisted in the pytest cache), then
+milliseconds per chunk — so the assertion runs in every default suite.
+
+Scene design matters under the devkit-exact R40 metric: k perfectly matched
+GTs fill only k of the 41 precision slots (AP = (k-1)/40*100 when all k
+match), so a class needs >= 2 matched GTs for nonzero AP, and randomly
+placed synthetic objects in the tiny 16 m range collide (NMS + detection
+then match one per cluster).  The batch below is therefore deterministic:
+12 well-separated Cars on a grid — fully matched clean AP 27.5, and every
+lost match costs one 2.5-point quantum.
 """
 import numpy as np
-import pytest
-
 import jax
+import jax.numpy as jnp
 
-from test_model import as_jnp, tiny_batch, tiny_cfg
+from test_model import as_jnp, tiny_cfg
+
+from robustpointclouds_tpu.data.structures import PointCloudBatch
+
+_CAR = np.array([3.9, 1.6, 1.56], np.float32)
 
 
-def test_attack_costs_at_least_15pct():
+def separated_car_batch(rng, points_per_frame=512, max_gt=8):
+    """B=2 frames x 6 Cars on a 2x3 grid, >= 4.5 m apart, ~60 pts/car."""
+    B, G = 2, max_gt
+    xs, ys = (5.5, 10.5), (-4.5, 0.0, 4.5)
+    yaws = [0.0, 0.3, -0.3, 0.15, -0.15, 0.25]
+    points = np.zeros((B, points_per_frame, 4), np.float32)
+    gt_boxes = np.zeros((B, G, 7), np.float32)
+    gt_labels = np.zeros((B, G), np.int32)
+    gt_mask = np.zeros((B, G), bool)
+    for b in range(B):
+        i = 0
+        for x in xs:
+            for y in ys:
+                gt_boxes[b, i] = [x, y, -0.6, *_CAR, yaws[i]]
+                gt_mask[b, i] = True
+                i += 1
+        n_obj, idx = i, 0
+        per_obj = int(points_per_frame * 0.8) // n_obj
+        for i in range(n_obj):
+            local = rng.uniform(-0.45, 0.45, (per_obj, 3)).astype(np.float32) * _CAR
+            c, s = np.cos(yaws[i]), np.sin(yaws[i])
+            world = local.copy()
+            world[:, 0] = local[:, 0] * c - local[:, 1] * s
+            world[:, 1] = local[:, 0] * s + local[:, 1] * c
+            world += gt_boxes[b, i, :3]
+            points[b, idx : idx + per_obj, :3] = world
+            idx += per_obj
+        nbg = points_per_frame - idx
+        bg = np.stack(
+            [
+                rng.uniform(0.5, 15.5, nbg),
+                rng.uniform(-7.5, 7.5, nbg),
+                rng.uniform(-1.9, -1.6, nbg),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        points[b, idx:, :3] = bg
+        points[b, :, 3] = rng.uniform(0, 1, points_per_frame)
+    mask = np.ones((B, points_per_frame), bool)
+    return PointCloudBatch(points, mask, gt_boxes, gt_labels, gt_mask)
+
+
+def test_attack_drop_quantified():
     from robustpointclouds_tpu.cli.common import run_evaluation
     from robustpointclouds_tpu.train import TrainConfig, Trainer
 
-    from robustpointclouds_tpu.data import synthetic_kitti_batch
-    from robustpointclouds_tpu.data.structures import PointCloudBatch
-    import jax.numpy as jnp
-
-    from robustpointclouds_tpu.models.detection import AnchorHeadConfig
-
-    # looser assigner thresholds: the tiny grid's 4 m anchor stride starves
-    # GTs of positive anchors at the production thresholds (num_pos ~ 1),
-    # and devkit R40 AP of <=1 matched GT is identically 0
-    cfg = tiny_cfg(adversary=True)._replace(
-        head=AnchorHeadConfig(
-            pos_iou_thr=(0.15, 0.1, 0.1), neg_iou_thr=(0.1, 0.05, 0.05),
+    # lenient assigner thresholds: the tiny config's 4 m anchor stride would
+    # otherwise leave some GTs without a positive anchor (anchor starvation,
+    # not attack sensitivity, would then bound AP)
+    cfg = tiny_cfg(adversary=True)
+    cfg = cfg._replace(
+        head=cfg.head._replace(
+            pos_iou_thr=(0.25, 0.1, 0.1),
+            neg_iou_thr=(0.15, 0.05, 0.05),
             min_pos_iou=(0.1, 0.05, 0.05),
         )
     )
-    trainer = Trainer(model_cfg=cfg, train_cfg=TrainConfig(learning_rate=1e-4))
+    trainer = Trainer(
+        model_cfg=cfg,
+        train_cfg=TrainConfig(learning_rate=1e-4),
+    )
     rng = np.random.RandomState(5)
-    # denser scene than tiny_batch: devkit R40 AP moves in (k-1)/40 steps of
-    # matched GTs, so the signal needs enough positives per class
-    batch = PointCloudBatch(*(jnp.asarray(x) for x in synthetic_kitti_batch(
-        rng, batch_size=2, num_points=512, max_gt=12, num_objects=8,
-        point_range=(0.0, -8.0, -3.0, 16.0, 8.0, 1.0),
-    )))
+    batch = as_jnp(separated_car_batch(rng))
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    trainer.compile(donate=False)
-    # past the epoch-3 gate so the adversary trains too
-    for _ in range(600):
-        state, logs = trainer.train_step(state, batch, epoch=5)
-    assert np.isfinite(float(logs["loss"]))
 
-    # scoring the overfit batch twice doubles matched-GT count, halving the
-    # R40 quantization step without extra training cost
-    clean = run_evaluation(trainer, state, iter([batch, batch]), attack=False)
-    attacked = run_evaluation(trainer, state, iter([batch, batch]), attack=True)
+    # fused overfit loop: scan carries the state so steps are sequential
+    # (same methodology as bench.py); epoch 5 keeps the adversary past the
+    # epoch-3 gate exactly like the heavy test
+    def chunk(state, batch, epoch):
+        def body(st, _):
+            st2, logs = trainer._step_impl(st, batch, epoch)
+            return st2, (logs["loss"], logs["num_pos"])
 
-    # best-detected class: the tiny config's 4 m anchor stride starves some
-    # classes of positive anchors (verify-skill note)
-    keys = [k for k in clean if k.endswith("_3d_moderate") and k != "mAP_3d_moderate"]
-    best = max(keys, key=lambda k: clean[k])
-    # overfit must actually detect (>= 2 matched GTs under devkit R40)
-    assert clean[best] >= 2.5 - 1e-6, clean
-    drop = clean[best] - attacked[best]
-    rel = drop / max(clean[best], 1e-9)
-    assert rel >= 0.15, (best, clean[best], attacked[best])
-    assert drop >= 2.5 - 1e-6, (best, clean[best], attacked[best])
+        return jax.lax.scan(body, state, None, length=100)
+
+    run = jax.jit(chunk)
+    epoch = jnp.float32(5)
+    for _ in range(7):
+        state, (losses, npos) = run(state, batch, epoch)
+    assert np.isfinite(np.asarray(losses)).all()
+    # most cars must have anchors, or AP measures starvation, not the attack
+    # (the 4 m anchor stride leaves yaw-offset cars at marginal anchor IoU)
+    assert float(npos[-1]) >= 8, float(npos[-1])
+
+    clean = run_evaluation(trainer, state, iter([batch]), attack=False)
+    attacked = run_evaluation(trainer, state, iter([batch]), attack=True)
+
+    car = "Car_3d_moderate"
+    # overfit on 12 separated cars: >= 4 matched GTs (devkit small-sample
+    # quanta: AP = (k-1)/40*100 for k matched => >= 7.5 means >= 4 matches)
+    assert clean[car] >= 7.5 - 1e-6, (clean[car], attacked[car])
+    drop = clean[car] - attacked[car]
+    # the low end of the reference's 15-25% band, relative, plus one full
+    # 2.5-point recall quantum absolute so the drop cannot be rounding noise
+    assert drop / max(clean[car], 1e-9) >= 0.15, (clean[car], attacked[car])
+    assert drop >= 2.5 - 1e-6, (clean[car], attacked[car])
