@@ -185,6 +185,27 @@ def run_training(
         def shard(batch):
             return shard_batch(batch, mesh)
 
+    # Host-side sparse-plan pipeline: the plan (voxelization + every encoder
+    # index — the step's structure sorts) is a pure function of the points,
+    # so the prefetch thread builds it on the CPU backend and device_puts it;
+    # the device step then runs sort-free (models/voxelnet.build_plan).
+    plan_builder = getattr(trainer, "make_plan_builder", lambda: None)()
+
+    def _with_plans(it):
+        for batch in it:
+            plan = None
+            if plan_builder is not None:
+                plan = plan_builder(
+                    np.asarray(batch.points), np.asarray(batch.points_mask),
+                    np.asarray(batch.gt_boxes), np.asarray(batch.gt_labels),
+                    np.asarray(batch.gt_mask),
+                )
+                if mesh is not None:
+                    plan = replicate(plan, mesh)
+                else:
+                    plan = jax.device_put(plan, jax.devices()[0])
+            yield batch, plan
+
     rng = jax.random.PRNGKey(seed)
     first_batch = next(iter(epoch_loader(0)))
     state = trainer.init_state(rng, first_batch)
@@ -210,14 +231,16 @@ def run_training(
     for epoch in range(start_epoch, max_epochs):
         epoch_t0 = time.time()
         n_frames = 0
-        for i, batch in enumerate(prefetch_iterator(epoch_loader(epoch))):
+        for i, (batch, plan) in enumerate(
+            prefetch_iterator(_with_plans(epoch_loader(epoch)))
+        ):
             if shard is not None:
                 batch = shard(batch)
             # device-level trace of steps 10-13 of the first epoch (the
             # reference's IterTimerHook equivalent, plus full XLA timelines)
             if profile_dir and epoch == start_epoch and i == 10:
                 jax.profiler.start_trace(profile_dir)
-            state, logs = trainer.train_step(state, batch, epoch=epoch)
+            state, logs = trainer.train_step(state, batch, epoch=epoch, plan=plan)
             if profile_dir and epoch == start_epoch and i == 13:
                 jax.block_until_ready(logs["loss"])
                 jax.profiler.stop_trace()

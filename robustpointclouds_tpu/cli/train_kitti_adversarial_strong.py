@@ -207,8 +207,25 @@ def main():
         state = trainer.reset_momentum(state)  # reference resets between epochs
         from .common import prefetch_iterator
 
-        for i, batch in enumerate(prefetch_iterator(batches(epoch))):
-            state, logs = trainer.train_step(state, batch)
+        # host-side sparse plans built in the prefetch thread (see
+        # cli/common.run_training for the rationale)
+        plan_builder = trainer.make_plan_builder()
+
+        def _with_plans(it):
+            import numpy as _np
+
+            for b in it:
+                plan = plan_builder(
+                    _np.asarray(b.points), _np.asarray(b.points_mask),
+                    _np.asarray(b.gt_boxes), _np.asarray(b.gt_labels),
+                    _np.asarray(b.gt_mask),
+                )
+                yield b, jax.device_put(plan, jax.devices()[0])
+
+        for i, (batch, plan) in enumerate(
+            prefetch_iterator(_with_plans(batches(epoch)))
+        ):
+            state, logs = trainer.train_step(state, batch, plan=plan)
             if (i + 1) % 10 == 0 or i == 0:
                 monitor.record(epoch, i, logs)
                 state = trainer.update_dynamic_scaling(state, epoch, logs)

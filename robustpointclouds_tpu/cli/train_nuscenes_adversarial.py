@@ -189,11 +189,27 @@ def run(
 
     history = {}
     n_epochs = max_epochs if max_steps is None else 1
+    # host-side sparse plans, built in the prefetch thread (see
+    # cli/common.run_training); NuScenes plans carry the 5-feature voxels
+    plan_builder = trainer.make_plan_builder()
+
+    def _with_plans(it):
+        for batch, vel in it:
+            plan = plan_builder(
+                np.asarray(batch.points), np.asarray(batch.points_mask)
+            )
+            yield batch, vel, jax.device_put(plan, jax.devices()[0])
+
+    from .common import prefetch_iterator
+
     for epoch in range(n_epochs):
-        for i, (batch, vel) in enumerate(batches(epoch)):
+        for i, (batch, vel, plan) in enumerate(
+            prefetch_iterator(_with_plans(batches(epoch)))
+        ):
             if shard is not None:
                 batch, vel = shard(batch), shard(vel)
-            state, logs = trainer.train_step(state, batch, vel, epoch)
+                plan = replicate(plan, mesh)
+            state, logs = trainer.train_step(state, batch, vel, epoch, plan=plan)
             if (i + 1) % 20 == 0 or i == 0:
                 logs_f = {k: float(v) for k, v in logs.items()}
                 logger.log_step(logs_f)

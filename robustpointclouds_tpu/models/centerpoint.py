@@ -106,12 +106,32 @@ class AdversarialCenterPoint(nn.Module):
         epoch: jnp.ndarray | int = 0,
         attack: bool = False,
         adv_grad_scale: jnp.ndarray | float = -1.0,
+        plan=None,
     ) -> CenterPointOutputs:
-        """points [B, P, 5] (x, y, z, intensity, timestamp)."""
+        """points [B, P, 5] (x, y, z, intensity, timestamp).
+
+        `plan`: optional host-prepared sparse plan (build_centerpoint_plan) —
+        same structure-only split as the flagship (models/voxelnet.build_plan);
+        the 5D perturbation is on voxel features, so the plan is exact.
+        """
         vz = self.cfg.voxelizer
         f = self.cfg.num_point_features
-        res = voxelize_batch(points[..., :f], points_mask, vz)
-        grid, order = sparse.with_batch_axis(res.coords, res.voxel_mask, vz.sparse_shape)
+        if plan is not None:
+            from ..ops.voxelize import VoxelizationResult
+
+            res = VoxelizationResult(
+                plan["voxels"], plan["vox_coords"], plan["num_points"],
+                plan["voxel_mask"], plan["point_mask"],
+            )
+            b0 = plan["voxels"].shape[0]
+            grid = sparse.SparseGrid(
+                plan["grid_ids"], plan["grid_coords"], plan["grid_mask"],
+                (b0,) + tuple(vz.sparse_shape),
+            )
+            order = plan["order"]
+        else:
+            res = voxelize_batch(points[..., :f], points_mask, vz)
+            grid, order = sparse.with_batch_axis(res.coords, res.voxel_mask, vz.sparse_shape)
 
         voxels = res.voxels
         adv_aux = {
@@ -140,11 +160,24 @@ class AdversarialCenterPoint(nn.Module):
 
         feats = HardSimpleVFE(voxels, res.point_mask)
         feats = feats.reshape(-1, f)[order]
-        bev = self.pts_middle_encoder(feats, grid, train)
+        bev = self.pts_middle_encoder(
+            feats, grid, train, plan=None if plan is None else plan["enc"]
+        )
         outs = self.pts_backbone(bev, train)
         fused = self.pts_neck(outs, train)
         task_preds = self.pts_bbox_head(fused, train)
         return CenterPointOutputs(task_preds, adv_aux)
+
+
+def build_centerpoint_plan(points, points_mask, cfg: CenterPointConfig):
+    """Host-side sparse plan for AdversarialCenterPoint — the 5-feature
+    variant of models/voxelnet.build_plan (same structure-only split; the
+    CenterHead's gaussian targets stay on device: they are cheap scatters,
+    not sorts)."""
+    from .voxelnet import sparse_plan_core
+
+    f = cfg.num_point_features
+    return sparse_plan_core(points, points_mask, cfg.voxelizer, f, f)
 
 
 def centerpoint_adversary_terms(

@@ -54,12 +54,22 @@ def anchor_head_targets(
     gt_labels: jnp.ndarray,
     gt_mask: jnp.ndarray,
     cfg: AnchorHeadConfig,
+    assign_res: assigner.AssignResult = None,
 ):
-    """Single-sample target assignment. anchors [A,7]; gts padded [G,...]."""
-    res = assigner.assign(
-        anchors, anchor_classes, gt_boxes, gt_labels, gt_mask,
-        cfg.pos_iou_thr, cfg.neg_iou_thr, cfg.min_pos_iou,
-    )
+    """Single-sample target assignment. anchors [A,7]; gts padded [G,...].
+
+    `assign_res`: optional precomputed Max-IoU assignment. The assignment is
+    a pure function of (static anchors, GT boxes) — parameters never enter —
+    so the host input pipeline can run the O(A·G) IoU matrix on CPU
+    (models/voxelnet.build_plan) and the device keeps only the cheap
+    elementwise target encoding below.
+    """
+    res = assign_res
+    if res is None:
+        res = assigner.assign(
+            anchors, anchor_classes, gt_boxes, gt_labels, gt_mask,
+            cfg.pos_iou_thr, cfg.neg_iou_thr, cfg.min_pos_iou,
+        )
     matched_boxes = gt_boxes[res.matched_gt]
     bbox_targets = box_coder.encode(matched_boxes, anchors)
     dir_targets = _direction_target(matched_boxes[..., 6], cfg.dir_offset)
@@ -81,6 +91,7 @@ def anchor_head_loss(
     gt_labels: jnp.ndarray,
     gt_mask: jnp.ndarray,
     cfg: AnchorHeadConfig,
+    assign=None,
 ) -> Dict[str, jnp.ndarray]:
     """Batched detection loss.
 
@@ -89,6 +100,9 @@ def anchor_head_loss(
             [B, H, W, A, 7]; dir_preds [B, H, W, A, 2].
         anchors: [N, 7] flattened (N = H*W*A), anchor_classes [N].
         gt_*: [B, G, ...] padded ground truth.
+        assign: optional host-precomputed batched assignment
+            {labels, matched_gt, pos_mask, neg_mask} each [B, N] (the sparse
+            plan's "assign" group) — skips the on-device IoU assignment.
     Returns:
         dict(loss_cls, loss_bbox, loss_dir, num_pos).
     """
@@ -98,10 +112,23 @@ def anchor_head_loss(
     bbox_preds = bbox_preds.reshape(b, n, 7)
     dir_preds = dir_preds.reshape(b, n, 2)
 
-    tgt_fn = jax.vmap(
-        lambda gb, gl, gm: anchor_head_targets(anchors, anchor_classes, gb, gl, gm, cfg)
-    )
-    cls_t, cls_w, bbox_t, bbox_w, dir_t = tgt_fn(gt_boxes, gt_labels, gt_mask)
+    if assign is None:
+        tgt_fn = jax.vmap(
+            lambda gb, gl, gm: anchor_head_targets(anchors, anchor_classes, gb, gl, gm, cfg)
+        )
+        cls_t, cls_w, bbox_t, bbox_w, dir_t = tgt_fn(gt_boxes, gt_labels, gt_mask)
+    else:
+        res = assigner.AssignResult(
+            labels=assign["labels"], matched_gt=assign["matched_gt"],
+            max_iou=jnp.zeros(assign["labels"].shape, jnp.float32),
+            pos_mask=assign["pos_mask"], neg_mask=assign["neg_mask"],
+        )
+        tgt_fn = jax.vmap(
+            lambda gb, gl, gm, r: anchor_head_targets(
+                anchors, anchor_classes, gb, gl, gm, cfg, r
+            )
+        )
+        cls_t, cls_w, bbox_t, bbox_w, dir_t = tgt_fn(gt_boxes, gt_labels, gt_mask, res)
 
     num_pos = jnp.maximum(jnp.sum(bbox_w), 1.0)
 

@@ -101,12 +101,30 @@ class StrongAdversarialVoxelNet(nn.Module):
         last_perturbations: jnp.ndarray | None = None,
         adv_grad_scale: jnp.ndarray | float = -1.0,
         apply_perturbations: bool = True,
+        plan=None,
     ) -> StrongOutputs:
         vz = self.cfg.base.voxelizer
-        res = voxelize_batch(points[..., :4], points_mask, vz)
-        grid, order = sparse.with_batch_axis(res.coords, res.voxel_mask, vz.sparse_shape)
+        if plan is not None:
+            # host-prepared sparse plan (models/voxelnet.build_plan on
+            # cfg.base): the strong variant perturbs post-VFE features, so
+            # the structure — and the plan — is perturbation-independent too
+            voxels, point_mask_v = plan["voxels"], plan["point_mask"]
+            b = voxels.shape[0]
+            grid = sparse.SparseGrid(
+                plan["grid_ids"], plan["grid_coords"], plan["grid_mask"],
+                (b,) + tuple(vz.sparse_shape),
+            )
+            order = plan["order"]
+            enc_plan = plan["enc"]
+        else:
+            res = voxelize_batch(points[..., :4], points_mask, vz)
+            grid, order = sparse.with_batch_axis(
+                res.coords, res.voxel_mask, vz.sparse_shape
+            )
+            voxels, point_mask_v = res.voxels, res.point_mask
+            enc_plan = None
 
-        feats = HardSimpleVFE(res.voxels, res.point_mask)  # [B, V, 4]
+        feats = HardSimpleVFE(voxels, point_mask_v)  # [B, V, 4]
         feats = feats.reshape(-1, feats.shape[-1])[order]
         mask = grid.mask
 
@@ -123,7 +141,7 @@ class StrongAdversarialVoxelNet(nn.Module):
             )
             feats = feats + grad_scale(pert, jnp.asarray(adv_grad_scale))
 
-        bev = self.middle_encoder(feats, grid, train)
+        bev = self.middle_encoder(feats, grid, train, plan=enc_plan)
         outs = self.backbone(bev, train)
         fused = self.neck(outs, train)
         cls_scores, bbox_preds, dir_preds = self.bbox_head(fused)

@@ -39,7 +39,8 @@ from ..nn import (
 from ..ops import anchors as anchor_ops
 from ..ops import sparse
 from ..ops.grad import grad_scale
-from ..ops.voxelize import VoxelizerConfig, voxelize_batch
+from ..nn.sparse_encoder import encoder_plan
+from ..ops.voxelize import VoxelizationResult, VoxelizerConfig, voxelize_batch
 from .detection import AnchorHeadConfig
 
 
@@ -142,6 +143,7 @@ class AdversarialVoxelNet(nn.Module):
         epoch: jnp.ndarray | int = 0,
         attack: bool = False,
         adv_grad_scale: jnp.ndarray | float = -1.0,
+        plan=None,
     ) -> ModelOutputs:
         """Full forward. points [B, P, F>=4], points_mask [B, P].
 
@@ -153,10 +155,28 @@ class AdversarialVoxelNet(nn.Module):
         `adv_grad_scale` is the gradient-reversal factor on the perturbation
         delta (-1.0 = the reference's `loss_adversarial = -1.0 * det_total`,
         adversarial_voxelnet.py:284).
+
+        `plan`: optional host-prepared sparse plan from :func:`build_plan`
+        (voxelization + all encoder indices). It is a pure function of the
+        input points, so the input pipeline computes it on CPU and the device
+        step skips every structure sort; `points`/`points_mask` are then only
+        consulted for their static shapes.
         """
         vz = self.cfg.voxelizer
-        res = voxelize_batch(points[..., :4], points_mask, vz)
-        grid, order = sparse.with_batch_axis(res.coords, res.voxel_mask, vz.sparse_shape)
+        if plan is not None:
+            res = VoxelizationResult(
+                plan["voxels"], plan["vox_coords"], plan["num_points"],
+                plan["voxel_mask"], plan["point_mask"],
+            )
+            b = plan["voxels"].shape[0]
+            grid = sparse.SparseGrid(
+                plan["grid_ids"], plan["grid_coords"], plan["grid_mask"],
+                (b,) + tuple(vz.sparse_shape),
+            )
+            order = plan["order"]
+        else:
+            res = voxelize_batch(points[..., :4], points_mask, vz)
+            grid, order = sparse.with_batch_axis(res.coords, res.voxel_mask, vz.sparse_shape)
 
         voxels = res.voxels
         adv_aux = {
@@ -188,11 +208,92 @@ class AdversarialVoxelNet(nn.Module):
 
         feats = HardSimpleVFE(voxels, res.point_mask)  # [B, V, F]
         feats = feats.reshape(-1, feats.shape[-1])[order]
-        bev = self.middle_encoder(feats, grid, train)
+        bev = self.middle_encoder(
+            feats, grid, train, plan=None if plan is None else plan["enc"]
+        )
         outs = self.backbone(bev, train)
         fused = self.neck(outs, train)
         cls_scores, bbox_preds, dir_preds = self.bbox_head(fused)
         return ModelOutputs(cls_scores, bbox_preds, dir_preds, adv_aux)
+
+
+def sparse_plan_core(points, points_mask, vz: VoxelizerConfig,
+                     num_features: int, encoder_in_channels: int):
+    """Shared plan core: voxelize + batch merge + encoder index plan, as a
+    dict of arrays. Model-family wrappers (build_plan here, CenterPoint's
+    build_centerpoint_plan) add family-specific groups on top."""
+    res = voxelize_batch(points[..., :num_features], points_mask, vz)
+    grid, order = sparse.with_batch_axis(res.coords, res.voxel_mask, vz.sparse_shape)
+    b, v = res.voxels.shape[:2]
+    from ..nn.sparse_encoder import SparseEncoder as _SE
+
+    enc_defaults = _SE(sparse_shape=vz.sparse_shape, in_channels=encoder_in_channels)
+    enc = encoder_plan(
+        grid, b * v, enc_defaults.in_channels, enc_defaults.base_channels,
+        enc_defaults.encoder_channels, enc_defaults.stage_cap_factors,
+        enc_defaults.out_cap_factor,
+    )
+    return {
+        "voxels": res.voxels,
+        "vox_coords": res.coords,
+        "num_points": res.num_points,
+        "voxel_mask": res.voxel_mask,
+        "point_mask": res.point_mask,
+        "order": order,
+        "grid_ids": grid.flat_ids,
+        "grid_coords": grid.coords,
+        "grid_mask": grid.mask,
+        "enc": enc,
+    }
+
+
+def build_plan(points: jnp.ndarray, points_mask: jnp.ndarray, cfg: VoxelNetConfig,
+               gt_boxes: jnp.ndarray = None, gt_labels: jnp.ndarray = None,
+               gt_mask: jnp.ndarray = None):
+    """Host-side sparse plan: voxelize + batch merge + every encoder index.
+
+    Everything here is a pure function of the input points — parameters never
+    enter — so the input pipeline runs it on the CPU backend while the device
+    executes the previous step, and the train step receives the arrays as
+    inputs instead of tracing the sorts inline. This is the idiomatic TPU
+    split (host input pipeline feeds a sort-free device step); the reference
+    instead builds these index pairs with spconv's CUDA hash tables inside
+    the step (models/detectors/adversarial_voxelnet.py:141). Exactness is by
+    construction: the SAME jax functions build the plan on either backend
+    (ops/voxelize.py, nn/sparse_encoder.encoder_plan).
+
+    The adversary is untouched by this split: it perturbs voxel FEATURES
+    (post-voxelization), so the sparse structure — and therefore the plan —
+    is independent of the perturbation.
+
+    Returns a dict-of-arrays pytree; feed it to the model/train step as
+    `plan=`. Jit it (train/loop.HostPlanBuilder does, on CPU).
+    """
+    plan = sparse_plan_core(points, points_mask, cfg.voxelizer, 4, 4)
+    if gt_boxes is not None:
+        # anchor Max-IoU assignment: also parameter-free (static anchors vs
+        # GT boxes), so the O(A·G) IoU matrix runs on the host too; the
+        # device keeps only the elementwise target encoding
+        # (models/detection.anchor_head_targets with assign_res)
+        from ..ops import assigner as _assigner
+
+        anchors_np, anchor_cls_np = cfg.make_anchors()
+        anchors_j = jnp.asarray(anchors_np)
+        anchor_cls_j = jnp.asarray(anchor_cls_np)
+        head = cfg.head
+        res_a = jax.vmap(
+            lambda gb, gl, gm: _assigner.assign(
+                anchors_j, anchor_cls_j, gb, gl, gm,
+                head.pos_iou_thr, head.neg_iou_thr, head.min_pos_iou,
+            )
+        )(gt_boxes, gt_labels, gt_mask)
+        plan["assign"] = {
+            "labels": res_a.labels,
+            "matched_gt": res_a.matched_gt,
+            "pos_mask": res_a.pos_mask,
+            "neg_mask": res_a.neg_mask,
+        }
+    return plan
 
 
 def adversary_direct_terms(

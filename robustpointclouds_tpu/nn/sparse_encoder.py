@@ -74,6 +74,116 @@ def _mp_kernel_available() -> bool:
     return False
 
 
+def _down_geom(num_stages: int, stage_i: int):
+    """Static kernel/stride/padding of the stage-i strided downsample."""
+    zpad = 0 if stage_i == num_stages - 1 else 1
+    return (1, 3, 3, 3), (1, 2, 2, 2), (0, zpad, 1, 1)
+
+
+_OUT_GEOM = ((1, 3, 1, 1), (1, 2, 1, 1), (0, 0, 0, 0))  # conv_out (mmdet3d)
+
+
+def _down_shape(in_shape, kernel, stride, padding):
+    return tuple(
+        (dim + 2 * p - k) // s + 1
+        for dim, k, s, p in zip(in_shape, kernel, stride, padding)
+    )
+
+
+def encoder_plan(
+    grid: sparse.SparseGrid,
+    n_cap: int,
+    in_channels: int = 4,
+    base_channels: int = 16,
+    encoder_channels: Sequence[Sequence[int]] = (
+        (16,), (32, 32, 32), (64, 64, 64), (64, 64, 64)
+    ),
+    stage_cap_factors: Sequence[float] = (1.0, 1.0, 0.75, 0.5),
+    out_cap_factor: float = 0.5,
+):
+    """Every neighbor/downsample index the encoder needs, as a dict of arrays.
+
+    This is the ONLY index-building code path: :class:`SparseEncoder` calls it
+    inline (traced into the device step) when no precomputed plan is passed,
+    and the host input pipeline calls the SAME function jitted on the CPU
+    backend to prepare plans ahead of the device (models/plan.py). Everything
+    here depends only on the sparse structure (voxel coordinates) — never on
+    parameters or features — which is what makes host-side preparation exact:
+    the reference's spconv builds these index pairs on-GPU inside the step
+    (models/detectors/adversarial_voxelnet.py:141); on TPU the rank/candidate
+    sorts were measured at ~38% of the encoder step (PARITY.md), so moving
+    them into the (otherwise idle) input pipeline shortens the device critical
+    path by exactly that much.
+
+    Returns a dict with keys rel0..relS (submanifold relations per grid
+    level: {rows, xvalid} in x-window form or {idx} dense by the width rule),
+    down1..downS (strided-layer output grid arrays {ids, coords, mask, inv}
+    plus {rows, xvalid} or {idx} for the forward gather), and out (conv_out).
+    Only arrays — static shapes are re-derived by the consumer.
+    """
+    plan = {}
+
+    def subm_rel(g: sparse.SparseGrid, cin: int):
+        import numpy as _np
+
+        id_space = int(_np.prod([int(s) for s in g.spatial_shape], dtype=_np.int64))
+        xwin_cap = (
+            sparse.INT32_MAX - (1 << 26) if sparse.MP_RANKS else sparse._PACK_CAP
+        )
+        if cin <= XWIN_MAX_CIN and id_space + _SUBM_KERNEL[-1] < xwin_cap:
+            xw = sparse.neighbor_xwin_info(
+                g, g.coords, g.mask, _SUBM_KERNEL, (1, 1, 1, 1), (0, 1, 1, 1)
+            )
+            return {"rows": xw.rows, "xvalid": xw.xvalid}
+        return {
+            "idx": sparse.neighbor_index(
+                g, g.coords, g.mask, _SUBM_KERNEL, (1, 1, 1, 1), (0, 1, 1, 1)
+            )
+        }
+
+    g = grid
+    plan["rel0"] = subm_rel(g, max(in_channels, base_channels))
+    for i, stage in enumerate(encoder_channels):
+        if i == 0:
+            continue
+        k4, s4, p4 = _down_geom(len(encoder_channels), i)
+        cin = encoder_channels[i - 1][-1]
+        use_xwin = cin <= XWIN_MAX_CIN
+        # when the forward gather runs in x-window form the dense forward
+        # index is never consumed — skip its scatter transpose entirely
+        new_g, down_idx, down_inv = sparse.downsample_with_index(
+            g, k4, s4, p4,
+            out_cap=max(int(n_cap * stage_cap_factors[i]), 1),
+            forward=not use_xwin,
+        )
+        st = {"ids": new_g.flat_ids, "coords": new_g.coords, "mask": new_g.mask,
+              "inv": down_inv}
+        if use_xwin:
+            # derive the x-window forward form from the inverse index's
+            # transpose-free info: xwin_from_index needs the dense idx, so
+            # build it from inv (one scatter) only for the xwin derivation
+            dense_idx = sparse.inverse_from_forward(down_inv, new_g.flat_ids.shape[0])
+            xw = sparse.xwin_from_index(
+                dense_idx, new_g.coords, new_g.mask, k4[-1],
+                g.flat_ids.shape[0], s4[-1], p4[-1], g.spatial_shape[-1],
+            )
+            st["rows"] = xw.rows
+            st["xvalid"] = xw.xvalid
+        else:
+            st["idx"] = down_idx
+        plan[f"down{i}"] = st
+        g = new_g
+        plan[f"rel{i}"] = subm_rel(g, stage[0])
+
+    k4, s4, p4 = _OUT_GEOM
+    out_g, out_idx, out_inv = sparse.downsample_with_index(
+        g, k4, s4, p4, out_cap=max(int(n_cap * out_cap_factor), 1), forward=True
+    )
+    plan["out"] = {"ids": out_g.flat_ids, "coords": out_g.coords,
+                   "mask": out_g.mask, "idx": out_idx, "inv": out_inv}
+    return plan
+
+
 class SparseConvBlock(nn.Module):
     """One sparse conv (gather-matmul) + masked BN + ReLU.
 
@@ -164,11 +274,17 @@ class SparseEncoder(nn.Module):
     use_mp_kernel: bool = None
 
     @nn.compact
-    def __call__(self, voxel_features, grid: sparse.SparseGrid, train: bool):
+    def __call__(self, voxel_features, grid: sparse.SparseGrid, train: bool,
+                 plan=None):
         """
         Args:
             voxel_features: [N, Cin] merged-batch voxel features.
             grid: 4D SparseGrid (batch, z, y, x) aligned with features.
+            plan: optional precomputed index plan from :func:`encoder_plan` —
+                the host input pipeline builds it on CPU so the device step
+                contains no rank/candidate sorts (they were ~38% of the
+                encoder step, PARITY.md). When None the same function is
+                traced inline: identical ops, identical numerics.
         Returns:
             BEV map [B, H/8, W/8, 2*out_channels].
         """
@@ -177,6 +293,82 @@ class SparseEncoder(nn.Module):
         use_mp = self.use_mp_kernel
         if use_mp is None:
             use_mp = _mp_kernel_available()
+        if use_mp:
+            assert plan is None, "precomputed plans do not carry mp packs"
+            return self._forward_mp(voxel_features, grid, train)
+        if plan is None:
+            plan = encoder_plan(
+                grid, n_cap, self.in_channels, self.base_channels,
+                self.encoder_channels, self.stage_cap_factors,
+                self.out_cap_factor,
+            )
+
+        def rel_kwargs(rel, g):
+            if "rows" in rel:
+                xw = sparse.XWindowInfo(
+                    rel["rows"], rel["xvalid"], _SUBM_KERNEL[-1],
+                    g.flat_ids.shape[0],
+                )
+                return dict(xwin=xw, ids=g.flat_ids)
+            return dict(idx=rel["idx"])
+
+        x = voxel_features
+        g = grid
+        rel = plan["rel0"]
+        x = SparseConvBlock(self.base_channels, dtype=self.dtype, name="conv_input")(
+            x, g.mask, train, **rel_kwargs(rel, g)
+        )
+        for i, stage in enumerate(self.encoder_channels):
+            for j, ch in enumerate(stage):
+                if i != 0 and j == 0:
+                    k4, s4, p4 = _down_geom(len(self.encoder_channels), i)
+                    st = plan[f"down{i}"]
+                    new_g = sparse.SparseGrid(
+                        st["ids"], st["coords"], st["mask"],
+                        _down_shape(g.spatial_shape, k4, s4, p4),
+                    )
+                    if "rows" in st:
+                        xw = sparse.XWindowInfo(
+                            st["rows"], st["xvalid"], k4[-1], g.flat_ids.shape[0]
+                        )
+                        down_kw = dict(xwin=xw, ids=g.flat_ids)
+                    else:
+                        down_kw = dict(idx=st["idx"])
+                    x = SparseConvBlock(
+                        ch, symmetric_taps=False, dtype=self.dtype,
+                        name=f"stage{i}_down",
+                    )(x, new_g.mask, train, inv_idx=st["inv"], **down_kw)
+                    g = new_g
+                    rel = plan[f"rel{i}"]
+                else:
+                    x = SparseConvBlock(ch, dtype=self.dtype, name=f"stage{i}_subm{j}")(
+                        x, g.mask, train, **rel_kwargs(rel, g)
+                    )
+
+        k4, s4, p4 = _OUT_GEOM
+        st = plan["out"]
+        out_g = sparse.SparseGrid(
+            st["ids"], st["coords"], st["mask"],
+            _down_shape(g.spatial_shape, k4, s4, p4),
+        )
+        x = SparseConvBlock(
+            self.out_channels, symmetric_taps=False, dtype=self.dtype,
+            name="conv_out",
+        )(x, out_g.mask, train, inv_idx=st["inv"], idx=st["idx"])
+
+        dense = sparse.scatter_to_dense(x, out_g)  # [B, Dz, H', W', C]
+        b, dz, h, w, c = dense.shape
+        # fold remaining z planes into channels: [B, H', W', Dz*C]
+        return jnp.transpose(dense, (0, 2, 3, 1, 4)).reshape(b, h, w, dz * c)
+
+    def _forward_mp(self, voxel_features, grid: sparse.SparseGrid, train: bool):
+        """Opt-in Pallas merge-path kernel traversal (use_mp_kernel=True).
+
+        Measured slower than the XLA paths at every width (module docstring);
+        kept as the correct kernel scaffold. Index building stays inline here.
+        """
+        n_cap = voxel_features.shape[0]
+        use_mp = True
 
         def subm_rel(g: sparse.SparseGrid, cin: int):
             # ONE relation build per grid resolution, shared by every subm

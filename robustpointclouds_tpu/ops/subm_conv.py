@@ -34,6 +34,15 @@ import jax.numpy as jnp
 # gather bandwidth, not MXU, is the binding resource.
 DW_FROM_GCOL = _os.environ.get("RPC_DW_GCOL", "0") == "1"
 
+# A/B gate: save the forward img2col as the VJP residual instead of
+# re-gathering it in the backward. Trades a K·N-row gather (row-count-bound,
+# ~8.6 ms for a 27-tap 96k-row 64ch conv) for a sequential HBM write+read of
+# the same bytes (~1 ms at v5e bandwidth) at the cost of holding the col
+# (up to ~330 MB/conv, ~2 GB total — fits v5e HBM). Whether it wins is a
+# SCHEDULING question (the re-gather may overlap MXU work for free), so it
+# stays measured-by-flag like the others: tools/bench_r4_step.
+SAVE_COL = _os.environ.get("RPC_SAVE_COL", "0") == "1"
+
 
 def _gather_col(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """feats [N, C], idx [N, K] in [0, N] (N = miss) -> col [N, K*C]."""
@@ -76,15 +85,19 @@ def _dw_from_gcol(g_col, feats, k, cout, reverse_slots):
 
 
 def _fwd(feats, kernel, idx):
+    if SAVE_COL:
+        col = _gather_col(feats, idx)
+        out = jnp.dot(col, kernel, preferred_element_type=jnp.float32).astype(feats.dtype)
+        return out, (col, kernel, idx)
     out = subm_conv(feats, kernel, idx)
     return out, (feats, kernel, idx)
 
 
 def _bwd(res, g):
-    feats, kernel, idx = res
-    n, cin = feats.shape
+    feats_or_col, kernel, idx = res
+    k = idx.shape[1]
     kcin, cout = kernel.shape
-    k = kcin // cin
+    cin = kcin // k
     # d_col = g @ W^T, laid out [N, K, Cin]
     # d_feats[j] = sum_k d_col[nbr_{-k}(j), k] ; mirrored tap = K-1-k, and
     # misses (idx == N) contribute nothing because g is padded with a zero row
@@ -95,17 +108,25 @@ def _bwd(res, g):
     w_k = kernel.reshape(k, cin, cout)
     w_t = jnp.transpose(w_k, (0, 2, 1)).reshape(k * cout, cin)
     g_col = _gather_col(g, idx[:, ::-1])  # [N, K*Cout], slot k = mirrored tap
-    d_feats = jnp.dot(g_col, w_t, preferred_element_type=jnp.float32).astype(feats.dtype)
+    d_feats = jnp.dot(g_col, w_t, preferred_element_type=jnp.float32).astype(
+        feats_or_col.dtype
+    )
 
     # d_W from the SAME gather — no col re-gather. The mirror bijection
     # idx[i,k]=j <=> idx[j,K-1-k]=i turns sum_i x[idx[i,k]]^T g[i] into
     # sum_j x[j]^T g[idx[j,K-1-k]] = x^T @ g_col[:, k] (the reversed-index
     # gather already holds the mirrored slot); misses hit g's zero row on
     # both sides, so the identity is exact including padding rows.
-    if DW_FROM_GCOL:
-        d_kernel = _dw_from_gcol(g_col, feats, k, cout, reverse_slots=False).astype(kernel.dtype)
+    if SAVE_COL:
+        d_kernel = jnp.dot(
+            feats_or_col.T, g, preferred_element_type=jnp.float32
+        ).astype(kernel.dtype)
+    elif DW_FROM_GCOL:
+        d_kernel = _dw_from_gcol(
+            g_col, feats_or_col, k, cout, reverse_slots=False
+        ).astype(kernel.dtype)
     else:
-        col = _gather_col(feats, idx)
+        col = _gather_col(feats_or_col, idx)
         d_kernel = jnp.dot(col.T, g, preferred_element_type=jnp.float32).astype(kernel.dtype)
     return d_feats, d_kernel, None
 
@@ -210,29 +231,39 @@ def subm_conv_xwin(kx: int, feats, kernel, ids, rows, xvalid):
 
 
 def _sxw_fwd(kx, feats, kernel, ids, rows, xvalid):
+    if SAVE_COL:
+        col = _gather_col_xwin(feats, ids, rows, xvalid, kx)
+        out = jnp.dot(col, kernel, preferred_element_type=jnp.float32).astype(feats.dtype)
+        return out, (col, kernel, ids, rows, xvalid)
     return subm_conv_xwin(kx, feats, kernel, ids, rows, xvalid), (
         feats, kernel, ids, rows, xvalid,
     )
 
 
 def _sxw_bwd(kx, res, g):
-    feats, kernel, ids, rows, xvalid = res
-    n, cin = feats.shape
+    feats_or_col, kernel, ids, rows, xvalid = res
+    k = rows.shape[1] * kx
     kcin, cout = kernel.shape
-    k = kcin // cin
+    cin = kcin // k
     w_rev = jnp.transpose(
         kernel.reshape(k, cin, cout)[::-1], (0, 2, 1)
     ).reshape(k * cout, cin)
     g_col = _gather_col_xwin(g, ids, rows, xvalid, kx)
-    d_feats = jnp.dot(g_col, w_rev, preferred_element_type=jnp.float32).astype(feats.dtype)
+    d_feats = jnp.dot(g_col, w_rev, preferred_element_type=jnp.float32).astype(
+        feats_or_col.dtype
+    )
 
     # d_W from the same gather (see subm _bwd): here g_col's slots are
     # UN-mirrored (the mirror lives in w_rev), so d_kernel[s] pairs x with
     # slot K-1-s — reverse the slot axis instead of re-gathering the col.
-    if DW_FROM_GCOL:
-        d_kernel = _dw_from_gcol(g_col, feats, k, cout, reverse_slots=True).astype(kernel.dtype)
+    if SAVE_COL:
+        d_kernel = jnp.dot(
+            feats_or_col.T, g, preferred_element_type=jnp.float32
+        ).astype(kernel.dtype)
+    elif DW_FROM_GCOL:
+        d_kernel = _dw_from_gcol(g_col, feats_or_col, k, cout, reverse_slots=True).astype(kernel.dtype)
     else:
-        col = _gather_col_xwin(feats, ids, rows, xvalid, kx)
+        col = _gather_col_xwin(feats_or_col, ids, rows, xvalid, kx)
         d_kernel = jnp.dot(col.T, g, preferred_element_type=jnp.float32).astype(kernel.dtype)
     return d_feats, d_kernel, None, None, None
 
@@ -254,25 +285,36 @@ def strided_conv_xwin(feats, kernel, ids, rows, xvalid, inv_idx):
 
 
 def _stxw_fwd(feats, kernel, ids, rows, xvalid, inv_idx):
+    if SAVE_COL:
+        kx = xvalid.shape[1]
+        col = _gather_col_xwin(feats, ids, rows, xvalid, kx)
+        out = jnp.dot(col, kernel, preferred_element_type=jnp.float32).astype(feats.dtype)
+        return out, (col, kernel, ids, rows, xvalid, inv_idx)
     out = strided_conv_xwin(feats, kernel, ids, rows, xvalid, inv_idx)
     return out, (feats, kernel, ids, rows, xvalid, inv_idx)
 
 
 def _stxw_bwd(res, g):
-    feats, kernel, ids, rows, xvalid, inv_idx = res
+    feats_or_col, kernel, ids, rows, xvalid, inv_idx = res
     kx = xvalid.shape[1]
-    n, cin = feats.shape
+    k = inv_idx.shape[1]
     kcin, cout = kernel.shape
-    k = kcin // cin
+    cin = kcin // k
     w_t = jnp.transpose(kernel.reshape(k, cin, cout), (0, 2, 1)).reshape(k * cout, cin)
     g_col = _gather_col(g, inv_idx)  # [N_in, K*Cout], tap-aligned
-    d_feats = jnp.dot(g_col, w_t, preferred_element_type=jnp.float32).astype(feats.dtype)
+    d_feats = jnp.dot(g_col, w_t, preferred_element_type=jnp.float32).astype(
+        feats_or_col.dtype
+    )
     # d_W from the same gather: inv is the exact transpose of idx per tap
     # (collision-free), so sum_i x[idx[i,k]]^T g[i] = x^T @ g_col[:, k]
-    if DW_FROM_GCOL:
-        d_kernel = _dw_from_gcol(g_col, feats, k, cout, reverse_slots=False).astype(kernel.dtype)
+    if SAVE_COL:
+        d_kernel = jnp.dot(
+            feats_or_col.T, g, preferred_element_type=jnp.float32
+        ).astype(kernel.dtype)
+    elif DW_FROM_GCOL:
+        d_kernel = _dw_from_gcol(g_col, feats_or_col, k, cout, reverse_slots=False).astype(kernel.dtype)
     else:
-        col = _gather_col_xwin(feats, ids, rows, xvalid, kx)
+        col = _gather_col_xwin(feats_or_col, ids, rows, xvalid, kx)
         d_kernel = jnp.dot(col.T, g, preferred_element_type=jnp.float32).astype(kernel.dtype)
     return d_feats, d_kernel, None, None, None, None
 
@@ -305,22 +347,32 @@ def strided_conv_t(
 
 
 def _st_fwd(feats, kernel, idx, inv_idx):
+    if SAVE_COL:
+        col = _gather_col(feats, idx)
+        out = jnp.dot(col, kernel, preferred_element_type=jnp.float32).astype(feats.dtype)
+        return out, (col, kernel, idx, inv_idx)
     return strided_conv_t(feats, kernel, idx, inv_idx), (feats, kernel, idx, inv_idx)
 
 
 def _st_bwd(res, g):
-    feats, kernel, idx, inv_idx = res
-    n, cin = feats.shape
+    feats_or_col, kernel, idx, inv_idx = res
+    k = idx.shape[1]
     kcin, cout = kernel.shape
-    k = kcin // cin
+    cin = kcin // k
     w_t = jnp.transpose(kernel.reshape(k, cin, cout), (0, 2, 1)).reshape(k * cout, cin)
     g_col = _gather_col(g, inv_idx)  # [N_in, K*Cout], tap-aligned (no mirror)
-    d_feats = jnp.dot(g_col, w_t, preferred_element_type=jnp.float32).astype(feats.dtype)
+    d_feats = jnp.dot(g_col, w_t, preferred_element_type=jnp.float32).astype(
+        feats_or_col.dtype
+    )
     # d_W from the same gather (see strided_conv_xwin backward)
-    if DW_FROM_GCOL:
-        d_kernel = _dw_from_gcol(g_col, feats, k, cout, reverse_slots=False).astype(kernel.dtype)
+    if SAVE_COL:
+        d_kernel = jnp.dot(
+            feats_or_col.T, g, preferred_element_type=jnp.float32
+        ).astype(kernel.dtype)
+    elif DW_FROM_GCOL:
+        d_kernel = _dw_from_gcol(g_col, feats_or_col, k, cout, reverse_slots=False).astype(kernel.dtype)
     else:
-        col = _gather_col(feats, idx)
+        col = _gather_col(feats_or_col, idx)
         d_kernel = jnp.dot(col.T, g, preferred_element_type=jnp.float32).astype(kernel.dtype)
     return d_feats, d_kernel, None, None
 

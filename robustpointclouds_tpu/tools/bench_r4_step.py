@@ -1,0 +1,141 @@
+"""Round-4 step-level attribution bench on real TPU: the host-plan split.
+
+Same methodology as bench_r3_step (ONE process, jit(lax.scan) over ITERS
+fused steps, state carried, features perturbed per step by a carry-dependent
+epsilon), plus the round-4 axis: the host-prepared sparse plan
+(models/voxelnet.build_plan) that moves voxelization + every index sort off
+the device. In plan mode the indices are loop-invariant BY DESIGN (that work
+left the device); everything consuming them also consumes per-step-perturbed
+features, so nothing else can hoist.
+
+Levers re-measured under the new schedule (round-3 verdicts were taken with
+the sorts still on device — the schedule changes wholesale without them):
+
+  - plan: host plan on/off (off = round-2/3 baseline reproduction)
+  - assign: host anchor assignment riding the plan vs on-device
+  - subm_conv.SAVE_COL: forward col saved as VJP residual vs re-gathered
+  - subm_conv.DW_FROM_GCOL: d_W from the backward's own g-col gather
+  - XWIN_SPLIT/XWIN_MAX_CIN: channel-split xwin on 64ch layers
+
+Usage: python -m robustpointclouds_tpu.tools.bench_r4_step
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
+            xwin_split=1 << 16, assign=True, iters=10):
+    import jax
+    import jax.numpy as jnp
+
+    from robustpointclouds_tpu.data import synthetic_kitti_batch
+    from robustpointclouds_tpu.data.structures import PointCloudBatch
+    from robustpointclouds_tpu.models import VoxelNetConfig
+    from robustpointclouds_tpu.nn import sparse_encoder as se
+    from robustpointclouds_tpu.ops import subm_conv as sc
+    from robustpointclouds_tpu.train import TrainConfig, Trainer
+    from robustpointclouds_tpu.train.loop import HostPlanBuilder
+
+    saved = (se.XWIN_MAX_CIN, sc.DW_FROM_GCOL, sc.XWIN_SPLIT, sc.SAVE_COL)
+    se.XWIN_MAX_CIN = xwin_max_cin
+    sc.DW_FROM_GCOL = dw_gcol
+    sc.XWIN_SPLIT = xwin_split
+    sc.SAVE_COL = save_col
+    try:
+        model_cfg = VoxelNetConfig()
+        trainer = Trainer(model_cfg=model_cfg, train_cfg=TrainConfig())
+        rng = np.random.RandomState(0)
+        batch_np = synthetic_kitti_batch(
+            rng, batch_size=batch_size, num_points=20000, max_gt=20
+        )
+        batch = PointCloudBatch(*(jnp.asarray(x) for x in batch_np))
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+        plan = None
+        host_ms = None
+        if plan_mode:
+            builder = HostPlanBuilder(model_cfg)
+            args = (batch_np.points, batch_np.points_mask)
+            if assign:
+                args += (batch_np.gt_boxes, batch_np.gt_labels, batch_np.gt_mask)
+            plan_cpu = builder(*args)
+            jax.block_until_ready(plan_cpu)
+            t0 = time.time()
+            plan_cpu = builder(*args)
+            jax.block_until_ready(plan_cpu)
+            host_ms = round((time.time() - t0) * 1000, 1)
+            plan = jax.device_put(plan_cpu, jax.devices()[0])
+
+        def scan_steps(state, batch, plan):
+            def body(carry, _):
+                st, eps = carry
+                b = batch._replace(points=batch.points + eps * 1e-30)
+                pl = None if plan is None else dict(
+                    plan, voxels=plan["voxels"] + eps * 1e-30
+                )
+                st2, logs = trainer._step_impl(st, b, jnp.float32(5), pl)
+                return (st2, logs["loss"]), logs["loss"]
+
+            (st, _), losses = jax.lax.scan(
+                body, (state, jnp.float32(0)), None, length=iters
+            )
+            return st, losses
+
+        run = jax.jit(scan_steps, donate_argnums=(0,))
+        state2, losses = run(state, batch, plan)
+        jax.block_until_ready(losses)
+        t0 = time.time()
+        state3, losses = run(state2, batch, plan)
+        jax.block_until_ready((state3.params, losses))
+        dt = time.time() - t0
+        assert np.isfinite(np.asarray(losses)).all()
+        fps = batch_size * iters / dt
+        r = {"B": batch_size, "plan": plan_mode, "assign": assign and plan_mode,
+             "save_col": save_col, "dw": dw_gcol, "max_cin": xwin_max_cin,
+             "step_ms": round(1e3 * dt / iters, 1),
+             "fps_per_chip": round(fps, 2)}
+        if host_ms is not None:
+            r["host_plan_ms"] = host_ms
+        return r
+    finally:
+        se.XWIN_MAX_CIN, sc.DW_FROM_GCOL, sc.XWIN_SPLIT, sc.SAVE_COL = saved
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".jax_cache",
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    print("backend:", jax.default_backend(), flush=True)
+
+    variants = [
+        # (B, plan, save_col, dw_gcol) [+ kwargs]        # what it isolates
+        dict(batch_size=6, plan_mode=False, save_col=False, dw_gcol=False),  # round-2/3 repro
+        dict(batch_size=6, plan_mode=True, save_col=False, dw_gcol=False,
+             assign=False),                                        # plan, indices only
+        dict(batch_size=6, plan_mode=True, save_col=False, dw_gcol=False),  # + host assign
+        dict(batch_size=6, plan_mode=True, save_col=True, dw_gcol=False),   # + saved col
+        dict(batch_size=6, plan_mode=True, save_col=False, dw_gcol=True),   # + dW g-col
+        dict(batch_size=6, plan_mode=True, save_col=True, dw_gcol=False,
+             xwin_max_cin=64, xwin_split=32),                      # 64ch on split xwin
+    ]
+    results = []
+    for v in variants:
+        r = measure(**v)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    print(json.dumps({"all": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,7 +56,8 @@ class CenterPointTrainer:
             adversary_enabled=jnp.float32(1.0),
         )
 
-    def _loss_fn(self, params, batch_stats, batch, gt_vel, epoch, adv_enabled):
+    def _loss_fn(self, params, batch_stats, batch, gt_vel, epoch, adv_enabled,
+                 plan=None):
         # epoch-ramped GRL scale (reference's adaptive_weight)
         w = self.model_cfg.adversarial_loss_weight
         ramp = jnp.minimum(w * jnp.asarray(epoch, jnp.float32) / 10.0, w)
@@ -68,6 +69,7 @@ class CenterPointTrainer:
             epoch,
             False,
             -ramp * adv_enabled,
+            plan,
             mutable=["batch_stats"],
         )
         det = centerpoint_loss(
@@ -91,9 +93,11 @@ class CenterPointTrainer:
         }
         return total, (mutated.get("batch_stats", batch_stats), logs, is_nan)
 
-    def _step_impl(self, state: TrainState, batch: PointCloudBatch, gt_vel, epoch):
+    def _step_impl(self, state: TrainState, batch: PointCloudBatch, gt_vel, epoch,
+                   plan=None):
         grads, (new_stats, logs, is_nan) = jax.grad(self._loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, gt_vel, epoch, state.adversary_enabled
+            state.params, state.batch_stats, batch, gt_vel, epoch,
+            state.adversary_enabled, plan,
         )
         adv_mask = split_adversary_mask(state.params)
         det_up, new_det = self.det_tx.update(grads, state.opt_state_det, state.params)
@@ -125,10 +129,33 @@ class CenterPointTrainer:
         self._train_step = jax.jit(self._step_impl, **kwargs)
         return self
 
-    def train_step(self, state, batch, gt_vel, epoch: int):
+    def train_step(self, state, batch, gt_vel, epoch: int, plan=None):
         if self._train_step is None:
             self.compile()
-        return self._train_step(state, batch, jnp.asarray(gt_vel), jnp.float32(epoch))
+        return self._train_step(
+            state, batch, jnp.asarray(gt_vel), jnp.float32(epoch), plan
+        )
+
+    def make_plan_builder(self):
+        from ..models.centerpoint import build_centerpoint_plan
+
+        cfg = self.model_cfg
+
+        class _Builder:
+            def __init__(self):
+                try:
+                    self._cpu = jax.devices("cpu")[0]
+                except RuntimeError:
+                    self._cpu = None
+                self._fn = jax.jit(lambda p, m: build_centerpoint_plan(p, m, cfg))
+
+            def __call__(self, points, points_mask):
+                if self._cpu is None:
+                    return self._fn(points, points_mask)
+                with jax.default_device(self._cpu):
+                    return self._fn(points, points_mask)
+
+        return _Builder()
 
     def forward_eval(self, state, batch, attack: bool = False):
         if self._eval_step is None:

@@ -113,6 +113,45 @@ def make_optimizers(cfg: TrainConfig):
     return det_tx, adv_tx
 
 
+class HostPlanBuilder:
+    """Builds sparse plans (models/voxelnet.build_plan) on the CPU backend.
+
+    The plan — voxelization plus every encoder neighbor/downsample index — is
+    a pure function of the input points, so the input pipeline computes it on
+    the host CPU (in the prefetch thread, overlapping the device step) and the
+    device step runs sort-free. The SAME jax code builds the plan on either
+    backend, so plan-fed and inline steps are numerically identical
+    (tests/test_plan.py).
+
+    Thread-safe: jax jit dispatch is; each prefetch worker may call this
+    concurrently. Returns CPU-committed arrays — `device_put` them (the train
+    CLIs do) so the H2D copy overlaps like any other input transfer.
+    """
+
+    def __init__(self, model_cfg: VoxelNetConfig):
+        from ..models.voxelnet import build_plan
+
+        try:
+            self._cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            self._cpu = None  # CPU-only test envs: default device IS the cpu
+        self._fn = jax.jit(
+            lambda p, m, gb, gl, gm: build_plan(p, m, model_cfg, gb, gl, gm)
+        )
+        self._fn_noassign = jax.jit(lambda p, m: build_plan(p, m, model_cfg))
+
+    def __call__(self, points, points_mask, gt_boxes=None, gt_labels=None,
+                 gt_mask=None):
+        if gt_boxes is None:
+            fn = lambda: self._fn_noassign(points, points_mask)
+        else:
+            fn = lambda: self._fn(points, points_mask, gt_boxes, gt_labels, gt_mask)
+        if self._cpu is None:
+            return fn()
+        with jax.default_device(self._cpu):
+            return fn()
+
+
 class Trainer:
     """Owns the model, optimizers and the compiled train/eval steps."""
 
@@ -160,7 +199,8 @@ class Trainer:
         )
 
     # -- the fused step -------------------------------------------------------
-    def _loss_fn(self, params, batch_stats, batch: PointCloudBatch, epoch, adv_enabled):
+    def _loss_fn(self, params, batch_stats, batch: PointCloudBatch, epoch,
+                 adv_enabled, plan=None):
         outs, mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch.points,
@@ -171,6 +211,7 @@ class Trainer:
             # GRL factor: -w (the adversary's -det objective), kill switch
             # zeroes it entirely (reference disable_adversarial_training)
             -self.train_cfg.adversarial_loss_weight * adv_enabled,
+            plan,
             mutable=["batch_stats"],
         )
         det = anchor_head_loss(
@@ -178,6 +219,7 @@ class Trainer:
             self.anchors, self.anchor_cls,
             batch.gt_boxes, batch.gt_labels, batch.gt_mask,
             self.model_cfg.head,
+            assign=None if plan is None else plan.get("assign"),
         )
         det_total = det["loss_cls"] + det["loss_bbox"] + det["loss_dir"]
         adv_total, adv_logs = adversary_direct_terms(
@@ -199,9 +241,11 @@ class Trainer:
         }
         return total, (mutated.get("batch_stats", batch_stats), logs, is_nan)
 
-    def _step_impl(self, state: TrainState, batch: PointCloudBatch, epoch):
+    def _step_impl(self, state: TrainState, batch: PointCloudBatch, epoch,
+                   plan=None):
         grads, (new_stats, logs, is_nan) = jax.grad(self._loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, epoch, state.adversary_enabled
+            state.params, state.batch_stats, batch, epoch,
+            state.adversary_enabled, plan,
         )
         # Sanitize grads BEFORE the optimizers: zeroing the loss scalar does
         # not stop NaN/Inf gradients (0*NaN=NaN in the VJP), and one NaN leaf
@@ -263,24 +307,35 @@ class Trainer:
         self._train_step = jax.jit(self._step_impl, **kwargs)
         return self
 
-    def train_step(self, state: TrainState, batch: PointCloudBatch, epoch: int):
+    def train_step(self, state: TrainState, batch: PointCloudBatch, epoch: int,
+                   plan=None):
         if self._train_step is None:
             self.compile()
-        return self._train_step(state, batch, jnp.float32(epoch))
+        return self._train_step(state, batch, jnp.float32(epoch), plan)
+
+    def make_plan_builder(self):
+        """Host-side sparse-plan builder for the input pipeline (run_training
+        calls this and threads the plans into train_step)."""
+        return HostPlanBuilder(self.model_cfg)
 
     # -- eval ---------------------------------------------------------------
-    def forward_eval(self, state: TrainState, batch: PointCloudBatch, attack: bool = False):
+    def forward_eval(self, state: TrainState, batch: PointCloudBatch,
+                     attack: bool = False, plan=None):
+        """Inference forward. `plan`: optional host-built sparse plan (no
+        assignment needed) so serving keeps the device step sort-free too."""
         if self._eval_step is None:
             self._eval_step = jax.jit(
-                lambda p, bs, pts, m: self.model.apply(
-                    {"params": p, "batch_stats": bs}, pts, m, False, 100, False
+                lambda p, bs, pts, m, pl: self.model.apply(
+                    {"params": p, "batch_stats": bs}, pts, m, False, 100, False,
+                    -1.0, pl,
                 ),
-                static_argnames=(),
             )
             self._attack_step = jax.jit(
-                lambda p, bs, pts, m: self.model.apply(
-                    {"params": p, "batch_stats": bs}, pts, m, False, 100, True
+                lambda p, bs, pts, m, pl: self.model.apply(
+                    {"params": p, "batch_stats": bs}, pts, m, False, 100, True,
+                    -1.0, pl,
                 )
             )
         fn = self._attack_step if attack else self._eval_step
-        return fn(state.params, state.batch_stats, batch.points, batch.points_mask)
+        return fn(state.params, state.batch_stats, batch.points,
+                  batch.points_mask, plan)

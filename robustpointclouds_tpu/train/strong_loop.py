@@ -87,7 +87,7 @@ class StrongTrainer:
             adversary_enabled=jnp.float32(1.0),
         )
 
-    def _loss_fn(self, params, state, batch, dropout_rng, anti_rng):
+    def _loss_fn(self, params, state, batch, dropout_rng, anti_rng, plan=None):
         cfg = self.model_cfg
         # curriculum factor min(1 + iter/10000, 2) folds into the scale
         curriculum = jnp.minimum(1.0 + state.step.astype(jnp.float32) / 10000.0, 2.0)
@@ -100,6 +100,7 @@ class StrongTrainer:
             scale,
             state.momentum,
             -cfg.adversarial_loss_weight * state.adversary_enabled * scale,
+            plan=plan,
             mutable=["batch_stats"],
             rngs={"dropout": dropout_rng},
         )
@@ -108,6 +109,7 @@ class StrongTrainer:
             self.anchors, self.anchor_cls,
             batch.gt_boxes, batch.gt_labels, batch.gt_mask,
             cfg.base.head,
+            assign=None if plan is None else plan.get("assign"),
         )
         det_total = det["loss_cls"] + det["loss_bbox"] + det["loss_dir"]
         # anti-adaptation: occasionally starve the detector (x0.1)
@@ -133,11 +135,12 @@ class StrongTrainer:
         return total, (mutated.get("batch_stats", state.batch_stats), logs,
                        outs.perturbations, is_nan)
 
-    def _step_impl(self, state: StrongTrainState, batch: PointCloudBatch):
+    def _step_impl(self, state: StrongTrainState, batch: PointCloudBatch,
+                   plan=None):
         rng, dropout_rng, anti_rng = jax.random.split(state.rng, 3)
         grads, (new_stats, logs, pert, is_nan) = jax.grad(
             self._loss_fn, has_aux=True
-        )(state.params, state, batch, dropout_rng, anti_rng)
+        )(state.params, state, batch, dropout_rng, anti_rng, plan)
         # sanitize BEFORE the optimizers — a NaN leaf would poison Adam's
         # moments permanently (see train/loop.py for the full rationale)
         grads_finite = jax.tree_util.tree_reduce(
@@ -185,10 +188,17 @@ class StrongTrainer:
         self._train_step = jax.jit(self._step_impl, **kwargs)
         return self
 
-    def train_step(self, state, batch):
+    def train_step(self, state, batch, plan=None):
         if self._train_step is None:
             self.compile()
-        return self._train_step(state, batch)
+        return self._train_step(state, batch, plan)
+
+    def make_plan_builder(self):
+        """Sparse plans are built against the BASE detector config (the strong
+        variant shares its voxelizer/encoder geometry and anchors)."""
+        from .loop import HostPlanBuilder
+
+        return HostPlanBuilder(self.model_cfg.base)
 
     # -- eval -----------------------------------------------------------------
     def forward_eval(self, state: StrongTrainState, batch: PointCloudBatch,

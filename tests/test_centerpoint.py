@@ -227,3 +227,22 @@ class TestNuScenesMetric:
                "labels": np.array([3]), "score": np.array([0.9], np.float32)}]
         res = eval_nuscenes_map(gt, dt, NUSCENES_CLASSES)
         assert res["car_AP"] == 0.0
+
+
+class TestCenterPointPlan:
+    def test_plan_step_bitwise_equal(self):
+        from robustpointclouds_tpu.train.centerpoint_loop import CenterPointTrainer
+
+        tr = CenterPointTrainer(model_cfg=tiny_cp_cfg())
+        batch, vel = tiny_cp_batch(np.random.RandomState(11))
+        state = tr.init_state(jax.random.PRNGKey(0), batch)
+        plan = tr.make_plan_builder()(
+            np.asarray(batch.points), np.asarray(batch.points_mask)
+        )
+        sa, la = jax.jit(tr._step_impl)(state, batch, vel, jnp.float32(5))
+        sb, lb = jax.jit(tr._step_impl)(state, batch, vel, jnp.float32(5), plan)
+        for k in la:
+            assert bool(jnp.all(la[k] == lb[k])), k
+        eq = jax.tree_util.tree_map(lambda x, y: bool(jnp.all(x == y)),
+                                    sa.params, sb.params)
+        assert all(jax.tree_util.tree_leaves(eq))

@@ -1,0 +1,135 @@
+"""Host-prepared sparse plans must be EXACTLY equivalent to inline building.
+
+The plan (models/voxelnet.build_plan) is the whole index side of the step —
+voxelization, batch merge, submanifold relations, downsample site sets and
+forward/inverse indices — computed in the input pipeline instead of on the
+device. Because the same jax functions build it on either backend, plan-fed
+and inline steps must agree BITWISE, not just approximately; these tests pin
+that, plus the loader-facing HostPlanBuilder wrapper.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robustpointclouds_tpu.data import synthetic_kitti_batch
+from robustpointclouds_tpu.data.structures import PointCloudBatch
+from robustpointclouds_tpu.models import AdversarialVoxelNet, VoxelNetConfig
+from robustpointclouds_tpu.models.voxelnet import build_plan
+from robustpointclouds_tpu.ops.voxelize import VoxelizerConfig
+from robustpointclouds_tpu.train import TrainConfig, Trainer
+from robustpointclouds_tpu.train.loop import HostPlanBuilder
+
+
+def tiny_cfg():
+    return VoxelNetConfig(
+        voxelizer=VoxelizerConfig(
+            point_cloud_range=(0.0, -8.0, -3.0, 16.0, 8.0, 1.0),
+            voxel_size=(0.5, 0.5, 0.125),
+            max_points_per_voxel=3,
+            max_voxels=512,
+        ),
+        anchor_ranges=(
+            (0, -8.0, -0.6, 16.0, 8.0, -0.6),
+            (0, -8.0, -0.6, 16.0, 8.0, -0.6),
+            (0, -8.0, -0.6, 16.0, 8.0, -0.6),
+        ),
+        adversary={"sensor_error_bound": 0.2, "use_spatial_attention": True,
+                   "hidden_channels": (8, 16, 8)},
+    )
+
+
+def tiny_batch(rng, B=2):
+    b = synthetic_kitti_batch(
+        rng, batch_size=B, num_points=512, max_gt=8, num_objects=3,
+        point_range=(0.0, -8.0, -3.0, 16.0, 8.0, 1.0),
+    )
+    return PointCloudBatch(*(jnp.asarray(x) for x in b))
+
+
+def _tree_equal(a, b):
+    leaves_a = jax.tree_util.tree_leaves(a)
+    leaves_b = jax.tree_util.tree_leaves(b)
+    assert len(leaves_a) == len(leaves_b)
+    return all(bool(jnp.all(x == y)) for x, y in zip(leaves_a, leaves_b))
+
+
+class TestPlanEquivalence:
+    def test_forward_bitwise_equal(self):
+        cfg = tiny_cfg()
+        model = AdversarialVoxelNet(cfg=cfg)
+        batch = tiny_batch(np.random.RandomState(0))
+        variables = jax.jit(lambda r, p, m: model.init(r, p, m, True, 5))(
+            jax.random.PRNGKey(0), batch.points, batch.points_mask
+        )
+        fa = jax.jit(lambda v, p, m: model.apply(
+            v, p, m, True, 5, False, -1.0, mutable=["batch_stats"]))
+        fb = jax.jit(lambda v, p, m, pl: model.apply(
+            v, p, m, True, 5, False, -1.0, pl, mutable=["batch_stats"]))
+        outs_a, mut_a = fa(variables, batch.points, batch.points_mask)
+        plan = jax.jit(lambda p, m: build_plan(p, m, cfg))(
+            batch.points, batch.points_mask
+        )
+        outs_b, mut_b = fb(variables, batch.points, batch.points_mask, plan)
+        assert bool(jnp.all(outs_a.cls_scores == outs_b.cls_scores))
+        assert bool(jnp.all(outs_a.bbox_preds == outs_b.bbox_preds))
+        assert bool(jnp.all(outs_a.dir_preds == outs_b.dir_preds))
+        assert _tree_equal(outs_a.adv_aux, outs_b.adv_aux)
+        assert _tree_equal(mut_a, mut_b)
+
+    def test_plan_shapes_and_keys(self):
+        cfg = tiny_cfg()
+        batch = tiny_batch(np.random.RandomState(1))
+        plan = jax.jit(lambda p, m: build_plan(p, m, cfg))(
+            batch.points, batch.points_mask
+        )
+        enc = plan["enc"]
+        assert sorted(enc.keys()) == [
+            "down1", "down2", "down3", "out", "rel0", "rel1", "rel2", "rel3"
+        ]
+        n0 = plan["grid_ids"].shape[0]
+        assert n0 == batch.points.shape[0] * cfg.voxelizer.max_voxels
+        # width rule: 16/32ch grids ride the x-window form, 64ch dense
+        assert "rows" in enc["rel0"] and "rows" in enc["rel1"]
+        assert "idx" in enc["rel2"] and "idx" in enc["rel3"]
+        # xwin downsamples don't ship the (unused) dense forward index
+        assert "idx" not in enc["down1"] and "idx" not in enc["down2"]
+        assert "idx" in enc["down3"] and "idx" in enc["out"]
+        # every leaf is an array (jit-transportable): no static leaves inside
+        for leaf in jax.tree_util.tree_leaves(plan):
+            assert hasattr(leaf, "dtype")
+
+    def test_train_step_bitwise_equal(self):
+        cfg = tiny_cfg()
+        trainer = Trainer(model_cfg=cfg, train_cfg=TrainConfig(warmup_iters=5))
+        batch = tiny_batch(np.random.RandomState(2))
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        step_a = jax.jit(trainer._step_impl)
+        step_b = jax.jit(trainer._step_impl)
+        # full plan incl. the host-side anchor assignment
+        plan = jax.jit(
+            lambda p, m, gb, gl, gm: build_plan(p, m, cfg, gb, gl, gm)
+        )(batch.points, batch.points_mask, batch.gt_boxes,
+          batch.gt_labels, batch.gt_mask)
+        assert "assign" in plan
+        sa, logs_a = step_a(state, batch, jnp.float32(5))
+        sb, logs_b = step_b(state, batch, jnp.float32(5), plan)
+        assert _tree_equal(logs_a, logs_b)
+        assert _tree_equal(sa.params, sb.params)
+        assert _tree_equal(sa.batch_stats, sb.batch_stats)
+
+    def test_host_plan_builder(self):
+        cfg = tiny_cfg()
+        builder = HostPlanBuilder(cfg)
+        batch = tiny_batch(np.random.RandomState(3))
+        plan = builder(
+            np.asarray(batch.points), np.asarray(batch.points_mask),
+            np.asarray(batch.gt_boxes), np.asarray(batch.gt_labels),
+            np.asarray(batch.gt_mask),
+        )
+        ref = jax.jit(
+            lambda p, m, gb, gl, gm: build_plan(p, m, cfg, gb, gl, gm)
+        )(batch.points, batch.points_mask, batch.gt_boxes,
+          batch.gt_labels, batch.gt_mask)
+        assert _tree_equal(plan, ref)
+        assert "assign" in plan

@@ -94,3 +94,24 @@ class TestProgressMonitor:
             m.record(1, i, {"loss_adversarial": -1.0})
         assert m.strength_retention() < 0.8
         assert "WEAKENED" in m.verdict()
+
+
+class TestStrongPlan:
+    def test_plan_step_bitwise_equal(self):
+        """Host-plan-fed strong step == inline step (same rngs, same state)."""
+        tr = make_strong_trainer()
+        batch = as_jnp(tiny_batch(np.random.RandomState(9)))
+        state = tr.init_state(jax.random.PRNGKey(0), batch)
+        plan = tr.make_plan_builder()(
+            np.asarray(batch.points), np.asarray(batch.points_mask),
+            np.asarray(batch.gt_boxes), np.asarray(batch.gt_labels),
+            np.asarray(batch.gt_mask),
+        )
+        sa, la = jax.jit(tr._step_impl)(state, batch)
+        sb, lb = jax.jit(tr._step_impl)(state, batch, plan)
+        for k in la:
+            assert bool(jnp.all(la[k] == lb[k])), k
+        eq = jax.tree_util.tree_map(lambda x, y: bool(jnp.all(x == y)),
+                                    sa.params, sb.params)
+        assert all(jax.tree_util.tree_leaves(eq))
+        assert bool(jnp.all(sa.momentum == sb.momentum))

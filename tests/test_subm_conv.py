@@ -127,3 +127,50 @@ def test_strided_conv_t_anisotropic():
     m = np.asarray(in_grid.mask)
     np.testing.assert_allclose(np.asarray(gf_t)[m], np.asarray(gf_r)[m],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_save_col_variant_matches_default(monkeypatch):
+    """RPC_SAVE_COL=1 (forward col saved as the VJP residual instead of
+    re-gathered in the backward) must be gradient-identical to the default
+    for all three conv families."""
+    import robustpointclouds_tpu.ops.subm_conv as sc
+
+    rng = np.random.RandomState(7)
+    grid = _random_grid(rng, shape=(1, 5, 6, 7), n_pad=64)
+    offs = sparse.kernel_offsets((1, 3, 3, 3))
+    idx = sparse.neighbor_index(grid, grid.coords, grid.mask, offs,
+                                (1, 1, 1, 1), (0, 1, 1, 1))
+    xw = sparse.neighbor_xwin_info(grid, grid.coords, grid.mask,
+                                   (1, 3, 3, 3), (1, 1, 1, 1), (0, 1, 1, 1))
+    k4, s4, p4 = (1, 3, 3, 3), (1, 2, 2, 2), (0, 1, 1, 1)
+    out_grid = sparse.downsample_sites(grid, k4, s4, p4, out_cap=64)
+    sidx = sparse.neighbor_index(grid, out_grid.coords, out_grid.mask,
+                                 sparse.kernel_offsets(k4), s4, p4)
+    sinv = sparse.inverse_neighbor_index(grid, out_grid, sparse.kernel_offsets(k4), s4, p4)
+
+    cin, cout = 4, 6
+    feats = jnp.where(grid.mask[:, None],
+                      jnp.asarray(rng.randn(64, cin).astype(np.float32)), 0.0)
+    w = jnp.asarray(rng.randn(27 * cin, cout).astype(np.float32))
+    g_sub = jnp.where(grid.mask[:, None],
+                      jnp.asarray(rng.randn(64, cout).astype(np.float32)), 0.0)
+    g_str = jnp.where(out_grid.mask[:, None],
+                      jnp.asarray(rng.randn(64, cout).astype(np.float32)), 0.0)
+
+    losses = {
+        "subm": lambda f, ww: jnp.sum(sc.subm_conv(f, ww, idx) * g_sub),
+        "xwin": lambda f, ww: jnp.sum(
+            sc.subm_conv_xwin(3, f, ww, grid.flat_ids, xw.rows, xw.xvalid) * g_sub
+        ),
+        "strided": lambda f, ww: jnp.sum(
+            sc.strided_conv_t(f, ww, sidx, sinv) * g_str
+        ),
+    }
+    for name, loss in losses.items():
+        monkeypatch.setattr(sc, "SAVE_COL", False)
+        ref = jax.grad(loss, argnums=(0, 1))(feats, w)
+        monkeypatch.setattr(sc, "SAVE_COL", True)
+        got = jax.grad(loss, argnums=(0, 1))(feats, w)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+    monkeypatch.setattr(sc, "SAVE_COL", False)
