@@ -149,7 +149,10 @@ def main():
     if host_plan_ms is not None:
         record["host_plan_ms"] = round(host_plan_ms, 1)
         record["plan_mb"] = round(plan_bytes / 1e6, 1)
-        record["plan_overlapped"] = bool(host_plan_ms < dt / iters * 1000)
+        record["plan_backend"] = builder.backend
+        record["plan_overlapped"] = bool(
+            builder.backend == "cpu" and host_plan_ms < dt / iters * 1000
+        )
     print(json.dumps(record))
 
 

@@ -196,7 +196,9 @@ def run(
     def _with_plans(it):
         for batch, vel in it:
             plan = plan_builder(
-                np.asarray(batch.points), np.asarray(batch.points_mask)
+                np.asarray(batch.points), np.asarray(batch.points_mask),
+                np.asarray(batch.gt_boxes), np.asarray(batch.gt_labels),
+                np.asarray(batch.gt_mask), np.asarray(vel),
             )
             yield batch, vel, jax.device_put(plan, jax.devices()[0])
 

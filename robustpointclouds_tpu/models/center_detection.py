@@ -170,13 +170,21 @@ def centerpoint_loss(
     gt_mask: jnp.ndarray,
     gt_vel: jnp.ndarray,
     cfg: CenterHeadConfig,
+    targets=None,
 ) -> Dict[str, jnp.ndarray]:
-    """Batched CenterPoint loss over all tasks."""
+    """Batched CenterPoint loss over all tasks.
+
+    `targets`: optional precomputed output of the vmapped
+    :func:`centerpoint_targets_single` — a pure function of the GT, so the
+    host input pipeline can build the heatmaps/anno rows on CPU
+    (models/centerpoint.build_centerpoint_plan carries them as "targets").
+    """
     B, H, W = preds[0]["heatmap"].shape[:3]
-    tgt_fn = jax.vmap(
-        lambda b, l, m, v: centerpoint_targets_single(b, l, m, v, (H, W), cfg)
-    )
-    targets = tgt_fn(gt_boxes, gt_labels, gt_mask, gt_vel)
+    if targets is None:
+        tgt_fn = jax.vmap(
+            lambda b, l, m, v: centerpoint_targets_single(b, l, m, v, (H, W), cfg)
+        )
+        targets = tgt_fn(gt_boxes, gt_labels, gt_mask, gt_vel)
 
     total_hm = jnp.float32(0.0)
     total_bbox = jnp.float32(0.0)

@@ -169,15 +169,27 @@ class AdversarialCenterPoint(nn.Module):
         return CenterPointOutputs(task_preds, adv_aux)
 
 
-def build_centerpoint_plan(points, points_mask, cfg: CenterPointConfig):
+def build_centerpoint_plan(points, points_mask, cfg: CenterPointConfig,
+                           gt_boxes=None, gt_labels=None, gt_mask=None,
+                           gt_vel=None):
     """Host-side sparse plan for AdversarialCenterPoint — the 5-feature
-    variant of models/voxelnet.build_plan (same structure-only split; the
-    CenterHead's gaussian targets stay on device: they are cheap scatters,
-    not sorts)."""
+    variant of models/voxelnet.build_plan. When GT is supplied the
+    CenterHead's gaussian heatmaps/anno rows ride along as "targets" (pure
+    functions of the GT, like the flagship's anchor assignment)."""
     from .voxelnet import sparse_plan_core
 
     f = cfg.num_point_features
-    return sparse_plan_core(points, points_mask, cfg.voxelizer, f, f)
+    plan = sparse_plan_core(points, points_mask, cfg.voxelizer, f, f)
+    if gt_boxes is not None:
+        from .center_detection import centerpoint_targets_single
+
+        feat = cfg.bev_feature_size
+        plan["targets"] = jax.vmap(
+            lambda b, l, m, v: centerpoint_targets_single(
+                b, l, m, v, feat, cfg.head
+            )
+        )(gt_boxes, gt_labels, gt_mask, gt_vel)
+    return plan
 
 
 def centerpoint_adversary_terms(

@@ -59,6 +59,15 @@ MP_WLEN = 544
 # tests flip this to exercise the integrated mp path in interpreter mode
 MP_INTERPRET = False
 
+# A/B gate: densify the conv_out features by a plan-carried dense-cell ->
+# sparse-row gather map instead of an N-row feature scatter (TPU scatters
+# serialize; both directions of the gather form are scatter-free). Default
+# OFF until the whole-step scan measurement (tools/bench_r4_step) says
+# otherwise — the round-3 lesson is that component wins don't compose.
+import os as _os
+
+DENSE_GATHER = _os.environ.get("RPC_DENSE_GATHER", "0") == "1"
+
 
 def _mp_kernel_available() -> bool:
     """Whether the Pallas merge-path kernel is the right default: NO.
@@ -181,6 +190,8 @@ def encoder_plan(
     )
     plan["out"] = {"ids": out_g.flat_ids, "coords": out_g.coords,
                    "mask": out_g.mask, "idx": out_idx, "inv": out_inv}
+    if DENSE_GATHER:
+        plan["out"]["dense"] = sparse.dense_gather_map(out_g)
     return plan
 
 
@@ -356,7 +367,10 @@ class SparseEncoder(nn.Module):
             name="conv_out",
         )(x, out_g.mask, train, inv_idx=st["inv"], idx=st["idx"])
 
-        dense = sparse.scatter_to_dense(x, out_g)  # [B, Dz, H', W', C]
+        if "dense" in st:
+            dense = sparse.scatter_to_dense_gather(x, out_g, st["dense"])
+        else:
+            dense = sparse.scatter_to_dense(x, out_g)  # [B, Dz, H', W', C]
         b, dz, h, w, c = dense.shape
         # fold remaining z planes into channels: [B, H', W', Dz*C]
         return jnp.transpose(dense, (0, 2, 3, 1, 4)).reshape(b, h, w, dz * c)

@@ -978,6 +978,65 @@ def xwin_from_index(
     return XWindowInfo(rows, xvalid, kx, n_in)
 
 
+def dense_gather_map(grid: SparseGrid) -> jnp.ndarray:
+    """Per dense cell, the sparse row holding it (or N = empty). [size] int32.
+
+    Structure-only (one int32 scatter over the dense cell count), so the host
+    plan carries it; with it, densification becomes a gather
+    (:func:`scatter_to_dense_gather`) instead of an N-row feature scatter —
+    TPU scatters serialize, gathers run on the gather engine.
+    """
+    n = grid.flat_ids.shape[0]
+    size = int(np.prod([int(s) for s in grid.spatial_shape], dtype=np.int64))
+    pos = jnp.where(grid.mask, jnp.minimum(grid.flat_ids, size), size)
+    return (
+        jnp.full((size + 1,), n, jnp.int32)
+        .at[pos]
+        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")[:size]
+    )
+
+
+@jax.custom_vjp
+def _dense_gather(features, dmap, pos):
+    feats_pad = jnp.concatenate(
+        [features, jnp.zeros((1,) + features.shape[1:], features.dtype)], 0
+    )
+    return feats_pad[dmap]
+
+
+def _dg_fwd(features, dmap, pos):
+    # zero-size dtype token: residuals must be jax types, not dtypes
+    token = jnp.zeros((0,), features.dtype)
+    return _dense_gather(features, dmap, pos), (pos, token)
+
+
+def _dg_bwd(res, g):
+    # d_feats[i] = g[cell_of(i)] — another gather (cells are unique per row;
+    # padding rows read the zero row), no scatter-add anywhere
+    pos, token = res
+    g_pad = jnp.concatenate([g, jnp.zeros((1,) + g.shape[1:], g.dtype)], 0)
+    return g_pad[pos].astype(token.dtype), None, None
+
+
+_dense_gather.defvjp(_dg_fwd, _dg_bwd)
+
+
+def scatter_to_dense_gather(
+    features: jnp.ndarray, grid: SparseGrid, dmap: jnp.ndarray
+) -> jnp.ndarray:
+    """Gather-form densification: exact scatter_to_dense replacement.
+
+    dmap from :func:`dense_gather_map` (plan-carried or traced inline); the
+    backward gathers through the row->cell map, computed elementwise from the
+    grid's own flat ids — scatter-free in both directions.
+    """
+    n = grid.flat_ids.shape[0]
+    size = dmap.shape[0]
+    pos = jnp.where(grid.mask, jnp.minimum(grid.flat_ids, size - 1), size)
+    dense = _dense_gather(features, dmap, pos)
+    return dense.reshape(tuple(grid.spatial_shape) + (features.shape[-1],))
+
+
 def scatter_to_dense(features: jnp.ndarray, grid: SparseGrid) -> jnp.ndarray:
     """Scatter sparse features into a dense [*spatial_shape, C] grid."""
     shape = grid.spatial_shape

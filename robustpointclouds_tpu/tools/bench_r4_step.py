@@ -29,7 +29,7 @@ import numpy as np
 
 
 def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
-            xwin_split=1 << 16, assign=True, iters=10):
+            xwin_split=1 << 16, assign=True, dense_gather=False, iters=10):
     import jax
     import jax.numpy as jnp
 
@@ -41,11 +41,13 @@ def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
     from robustpointclouds_tpu.train import TrainConfig, Trainer
     from robustpointclouds_tpu.train.loop import HostPlanBuilder
 
-    saved = (se.XWIN_MAX_CIN, sc.DW_FROM_GCOL, sc.XWIN_SPLIT, sc.SAVE_COL)
+    saved = (se.XWIN_MAX_CIN, sc.DW_FROM_GCOL, sc.XWIN_SPLIT, sc.SAVE_COL,
+             se.DENSE_GATHER)
     se.XWIN_MAX_CIN = xwin_max_cin
     sc.DW_FROM_GCOL = dw_gcol
     sc.XWIN_SPLIT = xwin_split
     sc.SAVE_COL = save_col
+    se.DENSE_GATHER = dense_gather
     try:
         model_cfg = VoxelNetConfig()
         trainer = Trainer(model_cfg=model_cfg, train_cfg=TrainConfig())
@@ -97,13 +99,15 @@ def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
         fps = batch_size * iters / dt
         r = {"B": batch_size, "plan": plan_mode, "assign": assign and plan_mode,
              "save_col": save_col, "dw": dw_gcol, "max_cin": xwin_max_cin,
+             "dense_gather": dense_gather,
              "step_ms": round(1e3 * dt / iters, 1),
              "fps_per_chip": round(fps, 2)}
         if host_ms is not None:
             r["host_plan_ms"] = host_ms
         return r
     finally:
-        se.XWIN_MAX_CIN, sc.DW_FROM_GCOL, sc.XWIN_SPLIT, sc.SAVE_COL = saved
+        (se.XWIN_MAX_CIN, sc.DW_FROM_GCOL, sc.XWIN_SPLIT, sc.SAVE_COL,
+         se.DENSE_GATHER) = saved
 
 
 def main():
@@ -128,6 +132,8 @@ def main():
         dict(batch_size=6, plan_mode=True, save_col=False, dw_gcol=True),   # + dW g-col
         dict(batch_size=6, plan_mode=True, save_col=True, dw_gcol=False,
              xwin_max_cin=64, xwin_split=32),                      # 64ch on split xwin
+        dict(batch_size=6, plan_mode=True, save_col=False, dw_gcol=False,
+             dense_gather=True),                                   # gather-form densify
     ]
     results = []
     for v in variants:

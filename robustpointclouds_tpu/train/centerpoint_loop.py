@@ -75,6 +75,7 @@ class CenterPointTrainer:
         det = centerpoint_loss(
             outs.task_preds, batch.gt_boxes, batch.gt_labels, batch.gt_mask,
             gt_vel, self.model_cfg.head,
+            targets=None if plan is None else plan.get("targets"),
         )
         det_total = det["loss_heatmap"] + det["loss_bbox"]
         adv_direct, _, adv_logs = centerpoint_adversary_terms(
@@ -148,12 +149,23 @@ class CenterPointTrainer:
                 except RuntimeError:
                     self._cpu = None
                 self._fn = jax.jit(lambda p, m: build_centerpoint_plan(p, m, cfg))
+                self._fn_gt = jax.jit(
+                    lambda p, m, gb, gl, gm, gv: build_centerpoint_plan(
+                        p, m, cfg, gb, gl, gm, gv
+                    )
+                )
 
-            def __call__(self, points, points_mask):
+            def __call__(self, points, points_mask, gt_boxes=None,
+                         gt_labels=None, gt_mask=None, gt_vel=None):
+                if gt_boxes is None:
+                    fn = lambda: self._fn(points, points_mask)
+                else:
+                    fn = lambda: self._fn_gt(points, points_mask, gt_boxes,
+                                             gt_labels, gt_mask, gt_vel)
                 if self._cpu is None:
-                    return self._fn(points, points_mask)
+                    return fn()
                 with jax.default_device(self._cpu):
-                    return self._fn(points, points_mask)
+                    return fn()
 
         return _Builder()
 

@@ -134,7 +134,10 @@ class HostPlanBuilder:
         try:
             self._cpu = jax.devices("cpu")[0]
         except RuntimeError:
-            self._cpu = None  # CPU-only test envs: default device IS the cpu
+            self._cpu = None  # no CPU backend registered: plans build on the
+            # default device (functional, but the host-overlap claim is off —
+            # bench.py reports plan_backend so the numbers stay honest)
+        self.backend = "cpu" if self._cpu is not None else jax.default_backend()
         self._fn = jax.jit(
             lambda p, m, gb, gl, gm: build_plan(p, m, model_cfg, gb, gl, gm)
         )

@@ -237,8 +237,11 @@ class TestCenterPointPlan:
         batch, vel = tiny_cp_batch(np.random.RandomState(11))
         state = tr.init_state(jax.random.PRNGKey(0), batch)
         plan = tr.make_plan_builder()(
-            np.asarray(batch.points), np.asarray(batch.points_mask)
+            np.asarray(batch.points), np.asarray(batch.points_mask),
+            np.asarray(batch.gt_boxes), np.asarray(batch.gt_labels),
+            np.asarray(batch.gt_mask), np.asarray(vel),
         )
+        assert "targets" in plan
         sa, la = jax.jit(tr._step_impl)(state, batch, vel, jnp.float32(5))
         sb, lb = jax.jit(tr._step_impl)(state, batch, vel, jnp.float32(5), plan)
         for k in la:

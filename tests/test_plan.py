@@ -118,6 +118,35 @@ class TestPlanEquivalence:
         assert _tree_equal(sa.params, sb.params)
         assert _tree_equal(sa.batch_stats, sb.batch_stats)
 
+    def test_scan_with_plan(self):
+        """bench.py's timed-loop form: lax.scan over fused steps with the
+        plan closed over and its voxels perturbed per iteration."""
+        cfg = tiny_cfg()
+        trainer = Trainer(model_cfg=cfg, train_cfg=TrainConfig(warmup_iters=5))
+        batch = tiny_batch(np.random.RandomState(4))
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        plan = jax.jit(
+            lambda p, m, gb, gl, gm: build_plan(p, m, cfg, gb, gl, gm)
+        )(batch.points, batch.points_mask, batch.gt_boxes,
+          batch.gt_labels, batch.gt_mask)
+
+        def scan_steps(state, batch, plan):
+            def body(carry, _):
+                st, eps = carry
+                b = batch._replace(points=batch.points + eps * 1e-30)
+                pl = dict(plan, voxels=plan["voxels"] + eps * 1e-30)
+                st2, logs = trainer._step_impl(st, b, jnp.float32(5), pl)
+                return (st2, logs["loss"]), logs["loss"]
+
+            (st, _), losses = jax.lax.scan(
+                body, (state, jnp.float32(0)), None, length=2
+            )
+            return st, losses
+
+        st, losses = jax.jit(scan_steps)(state, batch, plan)
+        assert np.isfinite(np.asarray(losses)).all()
+        assert int(st.step) == 2
+
     def test_host_plan_builder(self):
         cfg = tiny_cfg()
         builder = HostPlanBuilder(cfg)
@@ -133,3 +162,36 @@ class TestPlanEquivalence:
           batch.gt_labels, batch.gt_mask)
         assert _tree_equal(plan, ref)
         assert "assign" in plan
+
+
+def test_dense_gather_matches_scatter():
+    """Gather-form densification == scatter_to_dense, fwd and bwd."""
+    from robustpointclouds_tpu.ops import sparse
+
+    rng = np.random.RandomState(5)
+    shape = (2, 3, 6, 7)
+    total = int(np.prod(shape))
+    flat = np.sort(rng.choice(total, 40, replace=False))
+    coords = np.stack(np.unravel_index(flat, shape), axis=1).astype(np.int32)
+    coords_full = np.full((64, 4), -1, np.int32)
+    coords_full[:40] = coords
+    mask = np.zeros(64, bool)
+    mask[:40] = True
+    grid = sparse.make_grid(jnp.asarray(coords_full), jnp.asarray(mask), shape)
+    feats = jnp.where(grid.mask[:, None],
+                      jnp.asarray(rng.randn(64, 5).astype(np.float32)), 0.0)
+    dmap = sparse.dense_gather_map(grid)
+
+    a = sparse.scatter_to_dense(feats, grid)
+    b = sparse.scatter_to_dense_gather(feats, grid, dmap)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    g_out = jnp.asarray(rng.randn(*a.shape).astype(np.float32))
+    ga = jax.grad(lambda f: jnp.sum(sparse.scatter_to_dense(f, grid) * g_out))(feats)
+    gb = jax.grad(
+        lambda f: jnp.sum(sparse.scatter_to_dense_gather(f, grid, dmap) * g_out)
+    )(feats)
+    m = np.asarray(grid.mask)
+    np.testing.assert_array_equal(np.asarray(ga)[m], np.asarray(gb)[m])
+    # padding rows must get zero gradient from the gather form
+    assert not np.any(np.asarray(gb)[~m])
