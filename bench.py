@@ -151,7 +151,8 @@ def main():
         record["plan_mb"] = round(plan_bytes / 1e6, 1)
         record["plan_backend"] = builder.backend
         record["plan_overlapped"] = bool(
-            builder.backend == "cpu" and host_plan_ms < dt / iters * 1000
+            builder.backend in ("native", "cpu")
+            and host_plan_ms < dt / iters * 1000
         )
     print(json.dumps(record))
 

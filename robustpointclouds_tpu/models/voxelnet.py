@@ -271,29 +271,35 @@ def build_plan(points: jnp.ndarray, points_mask: jnp.ndarray, cfg: VoxelNetConfi
     """
     plan = sparse_plan_core(points, points_mask, cfg.voxelizer, 4, 4)
     if gt_boxes is not None:
-        # anchor Max-IoU assignment: also parameter-free (static anchors vs
-        # GT boxes), so the O(A·G) IoU matrix runs on the host too; the
-        # device keeps only the elementwise target encoding
-        # (models/detection.anchor_head_targets with assign_res)
-        from ..ops import assigner as _assigner
-
-        anchors_np, anchor_cls_np = cfg.make_anchors()
-        anchors_j = jnp.asarray(anchors_np)
-        anchor_cls_j = jnp.asarray(anchor_cls_np)
-        head = cfg.head
-        res_a = jax.vmap(
-            lambda gb, gl, gm: _assigner.assign(
-                anchors_j, anchor_cls_j, gb, gl, gm,
-                head.pos_iou_thr, head.neg_iou_thr, head.min_pos_iou,
-            )
-        )(gt_boxes, gt_labels, gt_mask)
-        plan["assign"] = {
-            "labels": res_a.labels,
-            "matched_gt": res_a.matched_gt,
-            "pos_mask": res_a.pos_mask,
-            "neg_mask": res_a.neg_mask,
-        }
+        plan["assign"] = anchor_assign_plan(gt_boxes, gt_labels, gt_mask, cfg)
     return plan
+
+
+def anchor_assign_plan(gt_boxes, gt_labels, gt_mask, cfg: VoxelNetConfig):
+    """Batched anchor Max-IoU assignment as a plan group.
+
+    Parameter-free (static anchors vs GT boxes), so the O(A·G) IoU matrix
+    runs on the host too; the device keeps only the elementwise target
+    encoding (models/detection.anchor_head_targets with assign_res).
+    """
+    from ..ops import assigner as _assigner
+
+    anchors_np, anchor_cls_np = cfg.make_anchors()
+    anchors_j = jnp.asarray(anchors_np)
+    anchor_cls_j = jnp.asarray(anchor_cls_np)
+    head = cfg.head
+    res_a = jax.vmap(
+        lambda gb, gl, gm: _assigner.assign(
+            anchors_j, anchor_cls_j, gb, gl, gm,
+            head.pos_iou_thr, head.neg_iou_thr, head.min_pos_iou,
+        )
+    )(gt_boxes, gt_labels, gt_mask)
+    return {
+        "labels": res_a.labels,
+        "matched_gt": res_a.matched_gt,
+        "pos_mask": res_a.pos_mask,
+        "neg_mask": res_a.neg_mask,
+    }
 
 
 def adversary_direct_terms(

@@ -144,6 +144,8 @@ class CenterPointTrainer:
 
         class _Builder:
             def __init__(self):
+                import os
+
                 try:
                     self._cpu = jax.devices("cpu")[0]
                 except RuntimeError:
@@ -154,18 +156,53 @@ class CenterPointTrainer:
                         p, m, cfg, gb, gl, gm, gv
                     )
                 )
+                from ..models.center_detection import centerpoint_targets_single
 
-            def __call__(self, points, points_mask, gt_boxes=None,
-                         gt_labels=None, gt_mask=None, gt_vel=None):
-                if gt_boxes is None:
-                    fn = lambda: self._fn(points, points_mask)
-                else:
-                    fn = lambda: self._fn_gt(points, points_mask, gt_boxes,
-                                             gt_labels, gt_mask, gt_vel)
+                feat = cfg.bev_feature_size
+                self._tgt_fn = jax.jit(jax.vmap(
+                    lambda b, l, m, v: centerpoint_targets_single(
+                        b, l, m, v, feat, cfg.head
+                    )
+                ))
+                self._native = None
+                if os.environ.get("RPC_NATIVE_PLAN", "1") == "1":
+                    try:
+                        from ..data.native_plan import (
+                            build_plan_native,
+                            native_plan_available,
+                        )
+
+                        if native_plan_available():
+                            self._native = build_plan_native
+                    except Exception:
+                        self._native = None
+
+            def _on_cpu(self, fn):
                 if self._cpu is None:
                     return fn()
                 with jax.default_device(self._cpu):
                     return fn()
+
+            def __call__(self, points, points_mask, gt_boxes=None,
+                         gt_labels=None, gt_mask=None, gt_vel=None):
+                import numpy as np
+
+                if self._native is not None:
+                    plan = self._native(
+                        np.asarray(points), np.asarray(points_mask),
+                        cfg.voxelizer, cfg.num_point_features,
+                    )
+                    if gt_boxes is not None:
+                        plan["targets"] = self._on_cpu(
+                            lambda: self._tgt_fn(gt_boxes, gt_labels, gt_mask, gt_vel)
+                        )
+                    return plan
+                if gt_boxes is None:
+                    return self._on_cpu(lambda: self._fn(points, points_mask))
+                return self._on_cpu(
+                    lambda: self._fn_gt(points, points_mask, gt_boxes,
+                                        gt_labels, gt_mask, gt_vel)
+                )
 
         return _Builder()
 

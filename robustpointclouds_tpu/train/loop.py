@@ -128,8 +128,10 @@ class HostPlanBuilder:
     CLIs do) so the H2D copy overlaps like any other input transfer.
     """
 
-    def __init__(self, model_cfg: VoxelNetConfig):
-        from ..models.voxelnet import build_plan
+    def __init__(self, model_cfg: VoxelNetConfig, use_native: bool = None):
+        import os
+
+        from ..models.voxelnet import anchor_assign_plan, build_plan
 
         try:
             self._cpu = jax.devices("cpu")[0]
@@ -137,22 +139,77 @@ class HostPlanBuilder:
             self._cpu = None  # no CPU backend registered: plans build on the
             # default device (functional, but the host-overlap claim is off —
             # bench.py reports plan_backend so the numbers stay honest)
-        self.backend = "cpu" if self._cpu is not None else jax.default_backend()
+        self._cfg = model_cfg
         self._fn = jax.jit(
             lambda p, m, gb, gl, gm: build_plan(p, m, model_cfg, gb, gl, gm)
         )
         self._fn_noassign = jax.jit(lambda p, m: build_plan(p, m, model_cfg))
+        self._assign_fn = jax.jit(
+            lambda gb, gl, gm: anchor_assign_plan(gb, gl, gm, model_cfg)
+        )
+        # native C++ index builder (csrc/plan.cpp): bit-equal, ~20x less host
+        # time than the XLA-CPU jit — only the float anchor assignment stays
+        # on the jax path. RPC_NATIVE_PLAN=0 forces the jax builder.
+        self._native = None
+        if use_native is None:
+            use_native = os.environ.get("RPC_NATIVE_PLAN", "1") == "1"
+        if use_native:
+            try:
+                from ..data.native_plan import (
+                    build_plan_native,
+                    native_plan_available,
+                )
 
-    def __call__(self, points, points_mask, gt_boxes=None, gt_labels=None,
-                 gt_mask=None):
-        if gt_boxes is None:
-            fn = lambda: self._fn_noassign(points, points_mask)
-        else:
-            fn = lambda: self._fn(points, points_mask, gt_boxes, gt_labels, gt_mask)
+                if native_plan_available():
+                    self._native = build_plan_native
+            except Exception:
+                self._native = None
+        self.backend = (
+            "native" if self._native is not None
+            else ("cpu" if self._cpu is not None else jax.default_backend())
+        )
+
+    def _on_cpu(self, fn):
         if self._cpu is None:
             return fn()
         with jax.default_device(self._cpu):
             return fn()
+
+    def __call__(self, points, points_mask, gt_boxes=None, gt_labels=None,
+                 gt_mask=None):
+        import numpy as np
+
+        if self._native is not None:
+            plan = self._native(
+                np.asarray(points), np.asarray(points_mask),
+                self._cfg.voxelizer, 4,
+            )
+            from ..nn import sparse_encoder as _se
+
+            if _se.DENSE_GATHER:
+                # dense-cell -> sparse-row map for the gather-form densify
+                # (matches ops/sparse.dense_gather_map on the out grid)
+                shape = (points.shape[0],) + tuple(self._cfg.voxelizer.sparse_shape)
+                for i in (1, 2, 3):
+                    shape = _se._down_shape(shape, *_se._down_geom(4, i))
+                shape = _se._down_shape(shape, *_se._OUT_GEOM)
+                size = int(np.prod(shape))
+                st = plan["enc"]["out"]
+                n = st["ids"].shape[0]
+                dmap = np.full((size,), n, np.int32)
+                m = st["mask"]
+                dmap[st["ids"][m]] = np.nonzero(m)[0].astype(np.int32)
+                st["dense"] = dmap
+            if gt_boxes is not None:
+                plan["assign"] = self._on_cpu(
+                    lambda: self._assign_fn(gt_boxes, gt_labels, gt_mask)
+                )
+            return plan
+        if gt_boxes is None:
+            return self._on_cpu(lambda: self._fn_noassign(points, points_mask))
+        return self._on_cpu(
+            lambda: self._fn(points, points_mask, gt_boxes, gt_labels, gt_mask)
+        )
 
 
 class Trainer:
