@@ -338,6 +338,19 @@ def run_evaluation(
     predict = jax.jit(
         lambda cls, box, d: anchor_head_predict(cls, box, d, trainer.anchors, head)
     )
+    # serving-path plans: same sort-free device forward as training (no GT
+    # needed); only for trainers whose forward_eval takes a plan
+    plan_builder = None
+    if isinstance(trainer, Trainer):
+        plan_builder = trainer.make_plan_builder()
+
+    def _eval_plan(b):
+        if plan_builder is None:
+            return None
+        plan = plan_builder(np.asarray(b.points), np.asarray(b.points_mask))
+        # keep leaves UNCOMMITTED (numpy) so the eval jit is free to place
+        # them against however params are laid out (replicated under a mesh)
+        return jax.tree_util.tree_map(np.asarray, plan)
     merge = _tta_merge_fn(getattr(head, "nms_iou_threshold", 0.01)) if tta else None
     n = 0
     dumped = []
@@ -350,13 +363,19 @@ def run_evaluation(
             batch, metas = item, None
         else:
             batch, metas = item
-        outs = trainer.forward_eval(state, batch, attack=attack)
+        kw = {}
+        if plan_builder is not None:
+            kw["plan"] = _eval_plan(batch)
+        outs = trainer.forward_eval(state, batch, attack=attack, **kw)
         boxes, scores, labels, mask = predict(outs.cls_scores, outs.bbox_preds, outs.dir_preds)
         if tta:
             flipped = batch._replace(
                 points=batch.points.at[..., 1].multiply(-1.0)
             )
-            outs_f = trainer.forward_eval(state, flipped, attack=attack)
+            kw_f = {}
+            if plan_builder is not None:
+                kw_f["plan"] = _eval_plan(flipped)
+            outs_f = trainer.forward_eval(state, flipped, attack=attack, **kw_f)
             bf, sf, lf, mf = predict(
                 outs_f.cls_scores, outs_f.bbox_preds, outs_f.dir_preds
             )

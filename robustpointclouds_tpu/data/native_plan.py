@@ -77,6 +77,12 @@ def build_plan_native(points: np.ndarray, points_mask: np.ndarray, voxelizer,
     assert lib is not None, "native plan builder unavailable"
     B, P = points.shape[:2]
     F = num_features
+    nx_, ny_, nz_ = voxelizer.grid_size
+    id_space = B * (nz_ + 1) * ny_ * nx_
+    assert id_space < 2 ** 31, (
+        f"merged flat id space {id_space} exceeds int32 (B={B} too large "
+        "for this grid) — matches the jax builder's _strides_of assert"
+    )
     V, T = voxelizer.max_voxels, voxelizer.max_points_per_voxel
     nx, ny, nz = voxelizer.grid_size
     N = B * V
