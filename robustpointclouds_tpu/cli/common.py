@@ -190,11 +190,13 @@ def run_training(
     # so the prefetch thread builds it on the CPU backend and device_puts it;
     # the device step then runs sort-free (models/voxelnet.build_plan).
     plan_builder = getattr(trainer, "make_plan_builder", lambda: None)()
+    plan_ms = {"last": 0.0}  # input-pipeline observability (logged below)
 
     def _with_plans(it):
         for batch in it:
             plan = None
             if plan_builder is not None:
+                t0 = time.time()
                 plan = plan_builder(
                     np.asarray(batch.points), np.asarray(batch.points_mask),
                     np.asarray(batch.gt_boxes), np.asarray(batch.gt_labels),
@@ -204,6 +206,7 @@ def run_training(
                     plan = replicate(plan, mesh)
                 else:
                     plan = jax.device_put(plan, jax.devices()[0])
+                plan_ms["last"] = (time.time() - t0) * 1000
             yield batch, plan
 
     rng = jax.random.PRNGKey(seed)
@@ -248,6 +251,10 @@ def run_training(
             n_frames += batch.points.shape[0]
             if (i + 1) % log_interval == 0 or i == 0:
                 logs = {k: float(v) for k, v in logs.items()}
+                if plan_builder is not None:
+                    # host plan build (prefetch-thread) time: must sit below
+                    # the step time for the input pipeline to be free
+                    logs["plan_build_ms"] = round(plan_ms["last"], 1)
                 logger.log_step(logs)
                 state = ladder.update(
                     state,

@@ -101,43 +101,43 @@ def build_plan_native(points: np.ndarray, points_mask: np.ndarray, voxelizer,
     )
 
     a = {
-        "voxels": np.zeros((B, V, T, F), np.float32),
-        "vox_coords": np.zeros((B, V, 3), np.int32),
-        "num_points": np.zeros((B, V), np.int32),
-        "voxel_mask": np.zeros((B, V), bool),
-        "point_mask": np.zeros((B, V, T), bool),
-        "order": np.zeros((N,), np.int32),
-        "grid_ids": np.zeros((N,), np.int32),
-        "grid_coords": np.zeros((N, 4), np.int32),
-        "grid_mask": np.zeros((N,), bool),
-        "rel0_rows": np.zeros((N, 9), np.int32),
-        "rel0_xv": np.zeros((N, 3), bool),
-        "d1_ids": np.zeros((n1,), np.int32),
-        "d1_coords": np.zeros((n1, 4), np.int32),
-        "d1_mask": np.zeros((n1,), bool),
-        "d1_inv": np.zeros((N, 27), np.int32),
-        "d1_rows": np.zeros((n1, 9), np.int32),
-        "d1_xv": np.zeros((n1, 3), bool),
-        "rel1_rows": np.zeros((n1, 9), np.int32),
-        "rel1_xv": np.zeros((n1, 3), bool),
-        "d2_ids": np.zeros((n2,), np.int32),
-        "d2_coords": np.zeros((n2, 4), np.int32),
-        "d2_mask": np.zeros((n2,), bool),
-        "d2_inv": np.zeros((n1, 27), np.int32),
-        "d2_rows": np.zeros((n2, 9), np.int32),
-        "d2_xv": np.zeros((n2, 3), bool),
-        "rel2_idx": np.zeros((n2, 27), np.int32),
-        "d3_ids": np.zeros((n3,), np.int32),
-        "d3_coords": np.zeros((n3, 4), np.int32),
-        "d3_mask": np.zeros((n3,), bool),
-        "d3_inv": np.zeros((n2, 27), np.int32),
-        "d3_idx": np.zeros((n3, 27), np.int32),
-        "rel3_idx": np.zeros((n3, 27), np.int32),
-        "o_ids": np.zeros((n4,), np.int32),
-        "o_coords": np.zeros((n4, 4), np.int32),
-        "o_mask": np.zeros((n4,), bool),
-        "o_inv": np.zeros((n3, 3), np.int32),
-        "o_idx": np.zeros((n4, 3), np.int32),
+        "voxels": np.empty((B, V, T, F), np.float32),
+        "vox_coords": np.empty((B, V, 3), np.int32),
+        "num_points": np.empty((B, V), np.int32),
+        "voxel_mask": np.empty((B, V), bool),
+        "point_mask": np.empty((B, V, T), bool),
+        "order": np.empty((N,), np.int32),
+        "grid_ids": np.empty((N,), np.int32),
+        "grid_coords": np.empty((N, 4), np.int32),
+        "grid_mask": np.empty((N,), bool),
+        "rel0_rows": np.empty((N, 9), np.int32),
+        "rel0_xv": np.empty((N, 3), bool),
+        "d1_ids": np.empty((n1,), np.int32),
+        "d1_coords": np.empty((n1, 4), np.int32),
+        "d1_mask": np.empty((n1,), bool),
+        "d1_inv": np.empty((N, 27), np.int32),
+        "d1_rows": np.empty((n1, 9), np.int32),
+        "d1_xv": np.empty((n1, 3), bool),
+        "rel1_rows": np.empty((n1, 9), np.int32),
+        "rel1_xv": np.empty((n1, 3), bool),
+        "d2_ids": np.empty((n2,), np.int32),
+        "d2_coords": np.empty((n2, 4), np.int32),
+        "d2_mask": np.empty((n2,), bool),
+        "d2_inv": np.empty((n1, 27), np.int32),
+        "d2_rows": np.empty((n2, 9), np.int32),
+        "d2_xv": np.empty((n2, 3), bool),
+        "rel2_idx": np.empty((n2, 27), np.int32),
+        "d3_ids": np.empty((n3,), np.int32),
+        "d3_coords": np.empty((n3, 4), np.int32),
+        "d3_mask": np.empty((n3,), bool),
+        "d3_inv": np.empty((n2, 27), np.int32),
+        "d3_idx": np.empty((n3, 27), np.int32),
+        "rel3_idx": np.empty((n3, 27), np.int32),
+        "o_ids": np.empty((n4,), np.int32),
+        "o_coords": np.empty((n4, 4), np.int32),
+        "o_mask": np.empty((n4,), bool),
+        "o_inv": np.empty((n3, 3), np.int32),
+        "o_idx": np.empty((n4, 3), np.int32),
     }
     order = list(a.keys())
     outs = (ctypes.c_void_p * len(order))(
