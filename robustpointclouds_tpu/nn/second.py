@@ -8,10 +8,49 @@ Plain XLA convolutions — these map straight onto the MXU.
 """
 from __future__ import annotations
 
+import os as _os
 from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+# A/B gate: stride-2 deconv as 1x1-matmul + depth-to-space (same weights,
+# same numerics — kernel == stride means the transpose conv has no overlap,
+# each input pixel stamps one s x s block). Isolated round-3 measurement:
+# 4.7 vs 8.6 ms for the FPN; default OFF pending the whole-step gate
+# (tools/bench_r4_step re-measures it under the host-plan schedule).
+FPN_D2S = _os.environ.get("RPC_FPN_D2S", "0") == "1"
+
+
+class _DeconvD2S(nn.Module):
+    """ConvTranspose(k=s, stride=s) as matmul + depth-to-space.
+
+    Parameter name/shape identical to nn.ConvTranspose ("kernel",
+    [s, s, cin, cout]) so checkpoints load into either form.
+    """
+
+    features: int
+    stride: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s, ch = self.stride, self.features
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (s, s, cin, ch)
+        ).astype(self.dtype)
+        b, h, w, _ = x.shape
+        # lax.conv_transpose (flax default) applies the kernel spatially
+        # FLIPPED relative to the stamped block — matches to float roundoff
+        # (~1e-7 f32; accumulation order differs), pinned by test_nn
+        k2 = jnp.transpose(kernel[::-1, ::-1], (2, 0, 1, 3)).reshape(
+            cin, s * s * ch
+        )
+        y = jnp.dot(x, k2, preferred_element_type=jnp.float32).astype(x.dtype)
+        y = y.reshape(b, h, w, s, s, ch)
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(b, h * s, w * s, ch)
+        return y
 
 
 class ConvBNReLU(nn.Module):
@@ -72,10 +111,14 @@ class SECONDFPN(nn.Module):
         for i, (x, ch, s) in enumerate(zip(feats, self.out_channels, self.upsample_strides)):
             x = x.astype(self.dtype)
             if s > 1:
-                x = nn.ConvTranspose(
-                    ch, (s, s), strides=(s, s), use_bias=False, dtype=self.dtype,
-                    name=f"deblock{i}_deconv",
-                )(x)
+                if FPN_D2S:
+                    x = _DeconvD2S(ch, s, dtype=self.dtype,
+                                   name=f"deblock{i}_deconv")(x)
+                else:
+                    x = nn.ConvTranspose(
+                        ch, (s, s), strides=(s, s), use_bias=False,
+                        dtype=self.dtype, name=f"deblock{i}_deconv",
+                    )(x)
             else:
                 x = nn.Conv(
                     ch, (s, s), strides=(s, s), use_bias=False, dtype=self.dtype,

@@ -29,25 +29,28 @@ import numpy as np
 
 
 def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
-            xwin_split=1 << 16, assign=True, dense_gather=False, iters=10):
+            xwin_split=1 << 16, assign=True, dense_gather=False,
+            fpn_d2s=False, iters=10):
     import jax
     import jax.numpy as jnp
 
     from robustpointclouds_tpu.data import synthetic_kitti_batch
     from robustpointclouds_tpu.data.structures import PointCloudBatch
     from robustpointclouds_tpu.models import VoxelNetConfig
+    from robustpointclouds_tpu.nn import second as snd
     from robustpointclouds_tpu.nn import sparse_encoder as se
     from robustpointclouds_tpu.ops import subm_conv as sc
     from robustpointclouds_tpu.train import TrainConfig, Trainer
     from robustpointclouds_tpu.train.loop import HostPlanBuilder
 
     saved = (se.XWIN_MAX_CIN, sc.DW_FROM_GCOL, sc.XWIN_SPLIT, sc.SAVE_COL,
-             se.DENSE_GATHER)
+             se.DENSE_GATHER, snd.FPN_D2S)
     se.XWIN_MAX_CIN = xwin_max_cin
     sc.DW_FROM_GCOL = dw_gcol
     sc.XWIN_SPLIT = xwin_split
     sc.SAVE_COL = save_col
     se.DENSE_GATHER = dense_gather
+    snd.FPN_D2S = fpn_d2s
     try:
         model_cfg = VoxelNetConfig()
         trainer = Trainer(model_cfg=model_cfg, train_cfg=TrainConfig())
@@ -99,7 +102,7 @@ def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
         fps = batch_size * iters / dt
         r = {"B": batch_size, "plan": plan_mode, "assign": assign and plan_mode,
              "save_col": save_col, "dw": dw_gcol, "max_cin": xwin_max_cin,
-             "dense_gather": dense_gather,
+             "dense_gather": dense_gather, "fpn_d2s": fpn_d2s,
              "step_ms": round(1e3 * dt / iters, 1),
              "fps_per_chip": round(fps, 2)}
         if host_ms is not None:
@@ -107,7 +110,7 @@ def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
         return r
     finally:
         (se.XWIN_MAX_CIN, sc.DW_FROM_GCOL, sc.XWIN_SPLIT, sc.SAVE_COL,
-         se.DENSE_GATHER) = saved
+         se.DENSE_GATHER, snd.FPN_D2S) = saved
 
 
 def main():
@@ -134,6 +137,8 @@ def main():
              xwin_max_cin=64, xwin_split=32),                      # 64ch on split xwin
         dict(batch_size=6, plan_mode=True, save_col=False, dw_gcol=False,
              dense_gather=True),                                   # gather-form densify
+        dict(batch_size=6, plan_mode=True, save_col=False, dw_gcol=False,
+             fpn_d2s=True),                                        # FPN deconv as d2s
     ]
     results = []
     for v in variants:

@@ -219,3 +219,20 @@ class TestStrongPerturber:
         assert strong_dynamic_scale(10, None, None) == pytest.approx(2.0)
         assert strong_dynamic_scale(0, 0.05, None) == pytest.approx(2.0)
         assert strong_dynamic_scale(40, 0.05, 0.05) == pytest.approx(5.0)  # capped
+
+
+def test_fpn_d2s_matches_conv_transpose():
+    """The RPC_FPN_D2S deconv form (matmul + depth-to-space) must match
+    nn.ConvTranspose with the SAME parameters to float roundoff."""
+    import flax.linen as fnn
+
+    from robustpointclouds_tpu.nn.second import _DeconvD2S
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 5, 7, 8).astype(np.float32))
+    ct = fnn.ConvTranspose(6, (2, 2), strides=(2, 2), use_bias=False)
+    v = ct.init(jax.random.PRNGKey(0), x)
+    ref = ct.apply(v, x)
+    got = _DeconvD2S(6, 2).apply(v, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-5, atol=1e-6)
