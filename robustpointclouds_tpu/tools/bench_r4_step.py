@@ -139,6 +139,10 @@ def main():
              dense_gather=True),                                   # gather-form densify
         dict(batch_size=6, plan_mode=True, save_col=False, dw_gcol=False,
              fpn_d2s=True),                                        # FPN deconv as d2s
+        # batch scaling under plans: the device never sorts, so the round-2
+        # 2^30 packed-sort cliff cannot apply — B is bounded only by int32
+        # ids (B <= 23 at the KITTI grid) and HBM
+        dict(batch_size=12, plan_mode=True, save_col=False, dw_gcol=False),
     ]
     results = []
     for v in variants:
