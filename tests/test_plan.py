@@ -195,3 +195,43 @@ def test_dense_gather_matches_scatter():
     np.testing.assert_array_equal(np.asarray(ga)[m], np.asarray(gb)[m])
     # padding rows must get zero gradient from the gather form
     assert not np.any(np.asarray(gb)[~m])
+
+
+def test_dense_gather_step_matches(monkeypatch):
+    """RPC_DENSE_GATHER: the native builder's dense map must equal
+    ops/sparse.dense_gather_map on the out grid, and the plan-fed step must
+    produce identical logs/params to the scatter-form step."""
+    from robustpointclouds_tpu.nn import sparse_encoder as se
+    from robustpointclouds_tpu.ops import sparse
+
+    cfg = tiny_cfg()
+    trainer = Trainer(model_cfg=cfg, train_cfg=TrainConfig(warmup_iters=5))
+    batch = tiny_batch(np.random.RandomState(6))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    args = (np.asarray(batch.points), np.asarray(batch.points_mask),
+            np.asarray(batch.gt_boxes), np.asarray(batch.gt_labels),
+            np.asarray(batch.gt_mask))
+
+    plan_off = HostPlanBuilder(cfg)(*args)
+    sa, la = jax.jit(trainer._step_impl)(state, batch, jnp.float32(5), plan_off)
+
+    monkeypatch.setattr(se, "DENSE_GATHER", True)
+    plan_on = HostPlanBuilder(cfg)(*args)
+    st = plan_on["enc"]["out"]
+    assert "dense" in st
+    # cross-check the attached map against the jax builder's form
+    b = batch.points.shape[0]
+    shape = (b,) + tuple(cfg.voxelizer.sparse_shape)
+    for i in (1, 2, 3):
+        shape = se._down_shape(shape, *se._down_geom(4, i))
+    shape = se._down_shape(shape, *se._OUT_GEOM)
+    grid = sparse.SparseGrid(
+        jnp.asarray(st["ids"]), jnp.asarray(st["coords"]),
+        jnp.asarray(st["mask"]), shape,
+    )
+    ref_map = np.asarray(sparse.dense_gather_map(grid))
+    np.testing.assert_array_equal(np.asarray(st["dense"]), ref_map)
+
+    sb, lb = jax.jit(trainer._step_impl)(state, batch, jnp.float32(5), plan_on)
+    assert _tree_equal(la, lb)
+    assert _tree_equal(sa.params, sb.params)
