@@ -252,6 +252,7 @@ def evaluate_centerpoint(trainer, state, batches, attack: bool = False):
     from ..models.center_detection import centerpoint_decode
 
     decode = jax.jit(lambda preds: centerpoint_decode(preds, trainer.model_cfg.head))
+    plan_builder = trainer.make_plan_builder()
     gts, dts = [], []
     for item in batches:
         if isinstance(item, tuple) and len(item) == 3:
@@ -261,7 +262,13 @@ def evaluate_centerpoint(trainer, state, batches, attack: bool = False):
             metas = None
         else:
             batch, vel, metas = item, None, None
-        outs = trainer.forward_eval(state, batch, attack=attack)
+        # sort-free eval forward: host plan, numpy leaves (uncommitted) so
+        # the jit places them freely against the params layout
+        plan = jax.tree_util.tree_map(
+            np.asarray,
+            plan_builder(np.asarray(batch.points), np.asarray(batch.points_mask)),
+        )
+        outs = trainer.forward_eval(state, batch, attack=attack, plan=plan)
         boxes, scores, labels, mask = decode(outs.task_preds)
         for b in range(batch.points.shape[0]):
             if metas is not None and not metas[b].get("valid", True):

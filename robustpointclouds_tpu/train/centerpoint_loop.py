@@ -206,17 +206,22 @@ class CenterPointTrainer:
 
         return _Builder()
 
-    def forward_eval(self, state, batch, attack: bool = False):
+    def forward_eval(self, state, batch, attack: bool = False, plan=None):
+        """`plan`: optional host-built sparse plan (build_centerpoint_plan,
+        no targets needed) — sort-free device forward for serving too."""
         if self._eval_step is None:
             self._eval_step = jax.jit(
-                lambda p, bs, pts, m: self.model.apply(
-                    {"params": p, "batch_stats": bs}, pts, m, False, 100, False
+                lambda p, bs, pts, m, pl: self.model.apply(
+                    {"params": p, "batch_stats": bs}, pts, m, False, 100, False,
+                    -1.0, pl,
                 )
             )
             self._attack_step = jax.jit(
-                lambda p, bs, pts, m: self.model.apply(
-                    {"params": p, "batch_stats": bs}, pts, m, False, 100, True
+                lambda p, bs, pts, m, pl: self.model.apply(
+                    {"params": p, "batch_stats": bs}, pts, m, False, 100, True,
+                    -1.0, pl,
                 )
             )
         fn = self._attack_step if attack else self._eval_step
-        return fn(state.params, state.batch_stats, batch.points, batch.points_mask)
+        return fn(state.params, state.batch_stats, batch.points,
+                  batch.points_mask, plan)
