@@ -131,6 +131,29 @@ def build_train_config(cfg: Config, **overrides):
     return TrainConfig(**kwargs)
 
 
+def build_pointpillars_config(cfg: Config):
+    """pillar-family schema (same keys as the voxelnet schema) ->
+    models.pointpillars.PointPillarsConfig."""
+    from ..models.pointpillars import PointPillarsConfig
+
+    m = cfg.get("model", {})
+    head_d = m.get("bbox_head", {})
+    base = PointPillarsConfig()
+    vox = build_voxelizer(m["voxelizer"]) if m.get("voxelizer") else base.voxelizer
+    return PointPillarsConfig(
+        voxelizer=vox,
+        num_classes=int(head_d.get("num_classes", 3)),
+        class_names=_as_tuple(cfg.get("class_names", base.class_names)),
+        anchor_ranges=_as_tuple(head_d.get("anchor_ranges", base.anchor_ranges), depth=2),
+        anchor_sizes=_as_tuple(head_d.get("anchor_sizes", base.anchor_sizes), depth=2),
+        anchor_rotations=_as_tuple(head_d.get("anchor_rotations", base.anchor_rotations)),
+        adversary=_adversary_dict(m),
+        adversarial_loss_weight=float(m.get("adversarial_loss_weight", base.adversarial_loss_weight)),
+        regularization_weight=float(m.get("regularization_weight", base.regularization_weight)),
+        adversary_start_epoch=int(m.get("adversary_start_epoch", base.adversary_start_epoch)),
+    )
+
+
 def build_model_config(cfg: Config):
     """Dispatch on model.type (registry names, reference custom_imports)."""
     mtype = cfg.get("model", {}).get("type", "AdversarialVoxelNet")
@@ -138,4 +161,6 @@ def build_model_config(cfg: Config):
         return build_voxelnet_config(cfg)
     if mtype in ("AdversarialCenterPoint", "CenterPoint"):
         return build_centerpoint_config(cfg)
+    if mtype in ("AdversarialPointPillars", "PointPillars"):
+        return build_pointpillars_config(cfg)
     raise ValueError(f"unknown model type {mtype!r}")

@@ -1,4 +1,5 @@
 from .detection import AnchorHeadConfig, anchor_head_loss, anchor_head_predict
+from .pointpillars import AdversarialPointPillars, PointPillarsConfig
 from .voxelnet import AdversarialVoxelNet, VoxelNetConfig, adversary_direct_terms
 
 __all__ = [
@@ -8,4 +9,6 @@ __all__ = [
     "AdversarialVoxelNet",
     "VoxelNetConfig",
     "adversary_direct_terms",
+    "AdversarialPointPillars",
+    "PointPillarsConfig",
 ]

@@ -223,7 +223,18 @@ class Trainer:
     ):
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
-        self.model = AdversarialVoxelNet(cfg=model_cfg)
+        if isinstance(model_cfg, VoxelNetConfig):
+            self.model = AdversarialVoxelNet(cfg=model_cfg)
+        else:
+            # duck-typed anchor-head families (e.g. PointPillarsConfig):
+            # same __call__/loss contract, different encoder
+            from ..models.pointpillars import (
+                AdversarialPointPillars,
+                PointPillarsConfig,
+            )
+
+            assert isinstance(model_cfg, PointPillarsConfig), type(model_cfg)
+            self.model = AdversarialPointPillars(cfg=model_cfg)
         anchors, anchor_cls = model_cfg.make_anchors()
         self.anchors = jnp.asarray(anchors)
         self.anchor_cls = jnp.asarray(anchor_cls)
@@ -375,7 +386,11 @@ class Trainer:
 
     def make_plan_builder(self):
         """Host-side sparse-plan builder for the input pipeline (run_training
-        calls this and threads the plans into train_step)."""
+        calls this and threads the plans into train_step). Pillar-family
+        configs have no index plan (their only structure op is one BEV
+        scatter) — None disables the plan pipeline for them."""
+        if not isinstance(self.model_cfg, VoxelNetConfig):
+            return None
         return HostPlanBuilder(self.model_cfg)
 
     # -- eval ---------------------------------------------------------------
