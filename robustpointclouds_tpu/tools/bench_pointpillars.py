@@ -1,0 +1,94 @@
+"""Pillar-family train-step throughput (frames/s/chip) on real HW.
+
+Same methodology as bench.py (ONE jit, lax.scan over ITERS fused adversarial
+train steps, state carried, points perturbed per step) on the full
+KITTI-scale AdversarialPointPillars. The pillar family is the all-dense
+TPU-natural architecture (models/pointpillars.py) — this bench quantifies
+how much throughput the architecture choice buys over the sparse-conv SECOND
+flagship (bench.py) on the same chip. Reported separately from bench.py:
+it is a DIFFERENT architecture, not an optimization of the reference's.
+
+Usage: python -m robustpointclouds_tpu.tools.bench_pointpillars
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".jax_cache",
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    print("backend:", jax.default_backend(), flush=True)
+
+    from robustpointclouds_tpu.data import synthetic_kitti_batch
+    from robustpointclouds_tpu.data.structures import PointCloudBatch
+    from robustpointclouds_tpu.models import PointPillarsConfig
+    from robustpointclouds_tpu.train import TrainConfig, Trainer
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "6"))
+    model_cfg = PointPillarsConfig()
+    trainer = Trainer(model_cfg=model_cfg, train_cfg=TrainConfig())
+
+    rng = np.random.RandomState(0)
+    batch_np = synthetic_kitti_batch(
+        rng, batch_size=batch_size, num_points=20000, max_gt=20,
+        point_range=model_cfg.voxelizer.point_cloud_range,
+    )
+    batch = PointCloudBatch(*(jnp.asarray(x) for x in batch_np))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    iters = 10
+
+    def scan_steps(state, batch):
+        def body(carry, _):
+            st, eps = carry
+            b = batch._replace(points=batch.points + eps * 1e-30)
+            st2, logs = trainer._step_impl(st, b, jnp.float32(5))
+            return (st2, logs["loss"]), logs["loss"]
+
+        (st, _), losses = jax.lax.scan(body, (state, jnp.float32(0)), None, length=iters)
+        return st, losses
+
+    run = jax.jit(scan_steps, donate_argnums=(0,))
+    flops_per_step = None
+    try:
+        cost = run.lower(state, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0)) / iters
+    except Exception:
+        pass
+    state2, losses = run(state, batch)
+    jax.block_until_ready(losses)
+    t0 = time.time()
+    state3, losses = run(state2, batch)
+    jax.block_until_ready((state3.params, losses))
+    dt = time.time() - t0
+    assert np.isfinite(np.asarray(losses)).all()
+
+    fps = batch_size * iters / max(len(jax.devices()), 1) / dt
+    record = {
+        "metric": "kitti_adv_pointpillars_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "step_ms": round(1e3 * dt / iters, 1),
+    }
+    if flops_per_step:
+        record["mfu"] = round(flops_per_step / (dt / iters) / 197e12, 4)
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()
