@@ -136,6 +136,31 @@ class PillarFeatureNet(nn.Module):
                          jnp.zeros((), x.dtype))
 
 
+def build_pillar_plan(points, points_mask, cfg: "PointPillarsConfig"):
+    """Host plan for the pillar family: voxelization + merged BEV grid +
+    dense-cell gather map (all pure functions of the points). With it the
+    device step is sort- AND scatter-free; the anchor assignment rides along
+    separately (train/loop.PillarPlanBuilder), exactly like the flagship."""
+    vz = cfg.voxelizer
+    res = voxelize_batch(points[..., :4], points_mask, vz)
+    nx, ny, _ = vz.grid_size
+    grid, order = sparse.with_batch_axis(
+        res.coords[..., 1:], res.voxel_mask, (ny, nx)
+    )
+    return {
+        "voxels": res.voxels,
+        "vox_coords": res.coords,
+        "num_points": res.num_points,
+        "voxel_mask": res.voxel_mask,
+        "point_mask": res.point_mask,
+        "order": order,
+        "grid_ids": grid.flat_ids,
+        "grid_coords": grid.coords,
+        "grid_mask": grid.mask,
+        "dense": sparse.dense_gather_map(grid),
+    }
+
+
 @MODELS.register_module()
 @MODELS.register_module(name="PointPillars")
 class AdversarialPointPillars(nn.Module):
@@ -178,11 +203,23 @@ class AdversarialPointPillars(nn.Module):
     def __call__(self, points, points_mask, train: bool, epoch=0,
                  attack: bool = False, adv_grad_scale=-1.0, plan=None
                  ) -> ModelOutputs:
-        """Same contract as AdversarialVoxelNet.__call__ (`plan` accepted for
-        interface parity; the pillar path has no index plan to feed — its
-        only structure op is the one BEV scatter)."""
+        """Same contract as AdversarialVoxelNet.__call__.
+
+        `plan`: optional host plan from :func:`build_pillar_plan` —
+        voxelization + the merged BEV grid + the dense-cell gather map, so
+        the device step contains neither the voxelize sort nor the BEV
+        scatter (both are pure functions of the points).
+        """
         vz = self.cfg.voxelizer
-        res = voxelize_batch(points[..., :4], points_mask, vz)
+        if plan is not None:
+            from ..ops.voxelize import VoxelizationResult
+
+            res = VoxelizationResult(
+                plan["voxels"], plan["vox_coords"], plan["num_points"],
+                plan["voxel_mask"], plan["point_mask"],
+            )
+        else:
+            res = voxelize_batch(points[..., :4], points_mask, vz)
 
         voxels = res.voxels
         adv_aux = {
@@ -212,13 +249,23 @@ class AdversarialPointPillars(nn.Module):
             adv_aux = {k: gate * v_ for k, v_ in aux.items()}
 
         feats = self.pfn(voxels, res.point_mask, res.coords, train)  # [B,V,C]
-        # BEV scatter (mmdet3d PointPillarsScatter): 2D (y, x) merged grid
+        # BEV densify (mmdet3d PointPillarsScatter): 2D (y, x) merged grid
         nx, ny, _ = vz.grid_size
-        grid, order = sparse.with_batch_axis(
-            res.coords[..., 1:], res.voxel_mask, (ny, nx)
-        )
-        f2 = feats.reshape(-1, feats.shape[-1])[order]
-        bev = sparse.scatter_to_dense(f2, grid)  # [B, ny, nx, C]
+        b = res.voxels.shape[0]
+        if plan is not None:
+            grid = sparse.SparseGrid(
+                plan["grid_ids"], plan["grid_coords"], plan["grid_mask"],
+                (b, ny, nx),
+            )
+            order = plan["order"]
+            f2 = feats.reshape(-1, feats.shape[-1])[order]
+            bev = sparse.scatter_to_dense_gather(f2, grid, plan["dense"])
+        else:
+            grid, order = sparse.with_batch_axis(
+                res.coords[..., 1:], res.voxel_mask, (ny, nx)
+            )
+            f2 = feats.reshape(-1, feats.shape[-1])[order]
+            bev = sparse.scatter_to_dense(f2, grid)  # [B, ny, nx, C]
         outs = self.backbone(bev, train)
         fused = self.neck(outs, train)
         cls_scores, bbox_preds, dir_preds = self.bbox_head(fused)

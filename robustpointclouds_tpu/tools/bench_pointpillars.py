@@ -49,13 +49,32 @@ def main():
     batch = PointCloudBatch(*(jnp.asarray(x) for x in batch_np))
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
 
+    # production input pipeline (host plan: voxelize + BEV grid + dense map
+    # + assign); BENCH_NO_PLAN=1 measures the everything-on-device step
+    plan = None
+    host_ms = None
+    if os.environ.get("BENCH_NO_PLAN", "0") != "1":
+        builder = trainer.make_plan_builder()
+        args = (batch_np.points, batch_np.points_mask, batch_np.gt_boxes,
+                batch_np.gt_labels, batch_np.gt_mask)
+        plan_cpu = builder(*args)
+        jax.block_until_ready(plan_cpu)
+        t0 = time.time()
+        plan_cpu = builder(*args)
+        jax.block_until_ready(plan_cpu)
+        host_ms = round((time.time() - t0) * 1000, 1)
+        plan = jax.device_put(plan_cpu, jax.devices()[0])
+
     iters = 10
 
-    def scan_steps(state, batch):
+    def scan_steps(state, batch, plan):
         def body(carry, _):
             st, eps = carry
             b = batch._replace(points=batch.points + eps * 1e-30)
-            st2, logs = trainer._step_impl(st, b, jnp.float32(5))
+            pl = None if plan is None else dict(
+                plan, voxels=plan["voxels"] + eps * 1e-30
+            )
+            st2, logs = trainer._step_impl(st, b, jnp.float32(5), pl)
             return (st2, logs["loss"]), logs["loss"]
 
         (st, _), losses = jax.lax.scan(body, (state, jnp.float32(0)), None, length=iters)
@@ -64,16 +83,16 @@ def main():
     run = jax.jit(scan_steps, donate_argnums=(0,))
     flops_per_step = None
     try:
-        cost = run.lower(state, batch).compile().cost_analysis()
+        cost = run.lower(state, batch, plan).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_step = float(cost.get("flops", 0.0)) / iters
     except Exception:
         pass
-    state2, losses = run(state, batch)
+    state2, losses = run(state, batch, plan)
     jax.block_until_ready(losses)
     t0 = time.time()
-    state3, losses = run(state2, batch)
+    state3, losses = run(state2, batch, plan)
     jax.block_until_ready((state3.params, losses))
     dt = time.time() - t0
     assert np.isfinite(np.asarray(losses)).all()
@@ -87,6 +106,8 @@ def main():
     }
     if flops_per_step:
         record["mfu"] = round(flops_per_step / (dt / iters) / 197e12, 4)
+    if host_ms is not None:
+        record["host_plan_ms"] = host_ms
     print(json.dumps(record))
 
 

@@ -212,6 +212,42 @@ class HostPlanBuilder:
         )
 
 
+class PillarPlanBuilder:
+    """Host plan builder for the pillar family: voxelize + BEV grid + dense
+    gather map (models/pointpillars.build_pillar_plan) plus the anchor
+    assignment — the whole structure side of the pillar step, on CPU."""
+
+    def __init__(self, model_cfg):
+        from ..models.pointpillars import build_pillar_plan
+        from ..models.voxelnet import anchor_assign_plan
+
+        try:
+            self._cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            self._cpu = None
+        self.backend = "cpu" if self._cpu is not None else jax.default_backend()
+        self._fn = jax.jit(lambda p, m: build_pillar_plan(p, m, model_cfg))
+        self._assign_fn = jax.jit(
+            lambda gb, gl, gm: anchor_assign_plan(gb, gl, gm, model_cfg)
+        )
+
+    def _on_cpu(self, fn):
+        if self._cpu is None:
+            return fn()
+        with jax.default_device(self._cpu):
+            return fn()
+
+    def __call__(self, points, points_mask, gt_boxes=None, gt_labels=None,
+                 gt_mask=None):
+        plan = self._on_cpu(lambda: self._fn(points, points_mask))
+        if gt_boxes is not None:
+            plan = dict(plan)
+            plan["assign"] = self._on_cpu(
+                lambda: self._assign_fn(gt_boxes, gt_labels, gt_mask)
+            )
+        return plan
+
+
 class Trainer:
     """Owns the model, optimizers and the compiled train/eval steps."""
 
@@ -385,13 +421,15 @@ class Trainer:
         return self._train_step(state, batch, jnp.float32(epoch), plan)
 
     def make_plan_builder(self):
-        """Host-side sparse-plan builder for the input pipeline (run_training
-        calls this and threads the plans into train_step). Pillar-family
-        configs have no index plan (their only structure op is one BEV
-        scatter) — None disables the plan pipeline for them."""
-        if not isinstance(self.model_cfg, VoxelNetConfig):
-            return None
-        return HostPlanBuilder(self.model_cfg)
+        """Host-side plan builder for the input pipeline (run_training calls
+        this and threads the plans into train_step)."""
+        if isinstance(self.model_cfg, VoxelNetConfig):
+            return HostPlanBuilder(self.model_cfg)
+        from ..models.pointpillars import PointPillarsConfig
+
+        if isinstance(self.model_cfg, PointPillarsConfig):
+            return PillarPlanBuilder(self.model_cfg)
+        return None
 
     # -- eval ---------------------------------------------------------------
     def forward_eval(self, state: TrainState, batch: PointCloudBatch,

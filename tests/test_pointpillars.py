@@ -94,7 +94,7 @@ class TestPointPillarsTraining:
             train_cfg=TrainConfig(learning_rate=3e-4, warmup_iters=1,
                                   max_epochs=1, steps_per_epoch=8),
         ).compile(donate=False)
-        assert trainer.make_plan_builder() is None  # no index plan for pillars
+        assert trainer.make_plan_builder() is not None  # pillar plan builder
         batch = tiny_batch(np.random.RandomState(2))
         state = trainer.init_state(jax.random.PRNGKey(0), batch)
         losses = []
@@ -117,3 +117,28 @@ class TestPointPillarsTraining:
         )(outs.cls_scores, outs.bbox_preds, outs.dir_preds)
         assert boxes.shape[0] == 2 and boxes.shape[-1] == 7
         assert bool(jnp.all(jnp.isfinite(boxes)))
+
+
+class TestPillarPlan:
+    def test_plan_step_bitwise_equal(self):
+        """Pillar host plan (voxelize + BEV grid + dense map + assign) must
+        leave the step bitwise-identical to inline building."""
+        cfg = tiny_pp_cfg()
+        trainer = Trainer(model_cfg=cfg, train_cfg=TrainConfig(warmup_iters=5))
+        batch = tiny_batch(np.random.RandomState(4))
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        builder = trainer.make_plan_builder()
+        assert builder is not None
+        plan = builder(
+            np.asarray(batch.points), np.asarray(batch.points_mask),
+            np.asarray(batch.gt_boxes), np.asarray(batch.gt_labels),
+            np.asarray(batch.gt_mask),
+        )
+        assert "dense" in plan and "assign" in plan
+        sa, la = jax.jit(trainer._step_impl)(state, batch, jnp.float32(5))
+        sb, lb = jax.jit(trainer._step_impl)(state, batch, jnp.float32(5), plan)
+        for k in la:
+            assert bool(jnp.all(la[k] == lb[k])), k
+        eq = jax.tree_util.tree_map(lambda x, y: bool(jnp.all(x == y)),
+                                    sa.params, sb.params)
+        assert all(jax.tree_util.tree_leaves(eq))
