@@ -126,3 +126,13 @@ def test_five_feature_points_bitwise():
     ref = jax.tree_util.tree_map(np.asarray, ref)
     got = build_plan_native(pts5, np.asarray(b.points_mask), vz, 5)
     _compare(ref, got)
+
+
+@pytest.mark.heavy
+def test_full_kitti_grid_bitwise():
+    """Real KITTI geometry ([41,1600,1408], 0.05 m voxels, 16k cap): the
+    native and jax builders must agree bitwise at production scale too."""
+    from robustpointclouds_tpu.models import VoxelNetConfig
+
+    vz = VoxelNetConfig().voxelizer
+    _run_case(vz, batch_size=2, num_points=20000, seed=7)
