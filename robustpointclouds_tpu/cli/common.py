@@ -132,11 +132,15 @@ def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
     sentinel = object()
 
     def worker():
+        # a producer failure (loader IO, plan build) must SURFACE in the
+        # consumer, not silently end the epoch after k steps — ship the
+        # exception through the queue and re-raise it on the main thread
         try:
             for item in it:
                 q.put(item)
-        finally:
             q.put(sentinel)
+        except BaseException as e:  # noqa: BLE001 - transported, not handled
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -144,6 +148,8 @@ def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
         item = q.get()
         if item is sentinel:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 
@@ -196,17 +202,20 @@ def run_training(
         for batch in it:
             plan = None
             if plan_builder is not None:
+                # timed span = the BUILD only (the device_put below is an
+                # async transfer that overlaps like any input); the logged
+                # value lags the consumed step by the prefetch queue depth
                 t0 = time.time()
                 plan = plan_builder(
                     np.asarray(batch.points), np.asarray(batch.points_mask),
                     np.asarray(batch.gt_boxes), np.asarray(batch.gt_labels),
                     np.asarray(batch.gt_mask),
                 )
+                plan_ms["last"] = (time.time() - t0) * 1000
                 if mesh is not None:
                     plan = replicate(plan, mesh)
                 else:
                     plan = jax.device_put(plan, jax.devices()[0])
-                plan_ms["last"] = (time.time() - t0) * 1000
             yield batch, plan
 
     rng = jax.random.PRNGKey(seed)

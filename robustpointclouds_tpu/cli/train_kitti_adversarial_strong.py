@@ -202,25 +202,28 @@ def main():
 
     val_history = {}
     max_epochs = args.epochs if args.steps is None else 1
+
+    from .common import prefetch_iterator
+
+    # host-side sparse plans built in the prefetch thread (see
+    # cli/common.run_training for the rationale). Built ONCE — a fresh
+    # builder per epoch would re-jit its plan/assign functions every epoch.
+    plan_builder = trainer.make_plan_builder()
+
+    def _with_plans(it):
+        import numpy as _np
+
+        for b in it:
+            plan = plan_builder(
+                _np.asarray(b.points), _np.asarray(b.points_mask),
+                _np.asarray(b.gt_boxes), _np.asarray(b.gt_labels),
+                _np.asarray(b.gt_mask),
+            )
+            yield b, jax.device_put(plan, jax.devices()[0])
+
     for epoch in range(max_epochs):
         state = trainer.update_dynamic_scaling(state, epoch)
         state = trainer.reset_momentum(state)  # reference resets between epochs
-        from .common import prefetch_iterator
-
-        # host-side sparse plans built in the prefetch thread (see
-        # cli/common.run_training for the rationale)
-        plan_builder = trainer.make_plan_builder()
-
-        def _with_plans(it):
-            import numpy as _np
-
-            for b in it:
-                plan = plan_builder(
-                    _np.asarray(b.points), _np.asarray(b.points_mask),
-                    _np.asarray(b.gt_boxes), _np.asarray(b.gt_labels),
-                    _np.asarray(b.gt_mask),
-                )
-                yield b, jax.device_put(plan, jax.devices()[0])
 
         for i, (batch, plan) in enumerate(
             prefetch_iterator(_with_plans(batches(epoch)))

@@ -200,7 +200,13 @@ def run(
                 np.asarray(batch.gt_boxes), np.asarray(batch.gt_labels),
                 np.asarray(batch.gt_mask), np.asarray(vel),
             )
-            yield batch, vel, jax.device_put(plan, jax.devices()[0])
+            # place in the prefetch thread so the transfer overlaps: mesh ->
+            # replicated (matches the params layout), else device 0
+            if mesh is not None:
+                plan = replicate(plan, mesh)
+            else:
+                plan = jax.device_put(plan, jax.devices()[0])
+            yield batch, vel, plan
 
     from .common import prefetch_iterator
 
@@ -210,7 +216,6 @@ def run(
         ):
             if shard is not None:
                 batch, vel = shard(batch), shard(vel)
-                plan = replicate(plan, mesh)
             state, logs = trainer.train_step(state, batch, vel, epoch, plan=plan)
             if (i + 1) % 20 == 0 or i == 0:
                 logs_f = {k: float(v) for k, v in logs.items()}

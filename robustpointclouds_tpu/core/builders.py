@@ -49,26 +49,12 @@ def build_voxelizer(vz: Dict[str, Any]):
 
 def build_voxelnet_config(cfg: Config):
     """configs/_base_/kitti-3d-3class.py schema -> models.VoxelNetConfig."""
-    from ..models.detection import AnchorHeadConfig
     from ..models.voxelnet import VoxelNetConfig
 
     m = cfg.get("model", {})
     head_d = m.get("bbox_head", {})
-    train_d = m.get("train_cfg", {})
-    test_d = m.get("test_cfg", {})
     base = VoxelNetConfig()
-    head = AnchorHeadConfig(
-        num_classes=int(head_d.get("num_classes", 3)),
-        pos_iou_thr=_as_tuple(train_d.get("pos_iou_thr", AnchorHeadConfig().pos_iou_thr)),
-        neg_iou_thr=_as_tuple(train_d.get("neg_iou_thr", AnchorHeadConfig().neg_iou_thr)),
-        min_pos_iou=_as_tuple(train_d.get("min_pos_iou", AnchorHeadConfig().min_pos_iou)),
-        diff_rad_by_sin=bool(head_d.get("diff_rad_by_sin", True)),
-        score_thr=float(test_d.get("score_thr", 0.1)),
-        nms_pre=int(test_d.get("nms_pre", 100)),
-        nms_iou_thr=float(test_d.get("nms_thr", 0.01)),
-        max_num=int(test_d.get("max_num", 50)),
-        use_rotate_nms=bool(test_d.get("use_rotate_nms", True)),
-    )
+    head = _build_anchor_head(cfg)
     return VoxelNetConfig(
         voxelizer=build_voxelizer(m.get("voxelizer", {})) if m.get("voxelizer") else base.voxelizer,
         num_classes=int(head_d.get("num_classes", 3)),
@@ -131,6 +117,29 @@ def build_train_config(cfg: Config, **overrides):
     return TrainConfig(**kwargs)
 
 
+def _build_anchor_head(cfg: Config):
+    """model.bbox_head/train_cfg/test_cfg keys -> AnchorHeadConfig (shared by
+    the voxelnet and pillar builders so both honor the same schema)."""
+    from ..models.detection import AnchorHeadConfig
+
+    m = cfg.get("model", {})
+    head_d = m.get("bbox_head", {})
+    train_d = m.get("train_cfg", {})
+    test_d = m.get("test_cfg", {})
+    return AnchorHeadConfig(
+        num_classes=int(head_d.get("num_classes", 3)),
+        pos_iou_thr=_as_tuple(train_d.get("pos_iou_thr", AnchorHeadConfig().pos_iou_thr)),
+        neg_iou_thr=_as_tuple(train_d.get("neg_iou_thr", AnchorHeadConfig().neg_iou_thr)),
+        min_pos_iou=_as_tuple(train_d.get("min_pos_iou", AnchorHeadConfig().min_pos_iou)),
+        diff_rad_by_sin=bool(head_d.get("diff_rad_by_sin", True)),
+        score_thr=float(test_d.get("score_thr", 0.1)),
+        nms_pre=int(test_d.get("nms_pre", 100)),
+        nms_iou_thr=float(test_d.get("nms_thr", 0.01)),
+        max_num=int(test_d.get("max_num", 50)),
+        use_rotate_nms=bool(test_d.get("use_rotate_nms", True)),
+    )
+
+
 def build_pointpillars_config(cfg: Config):
     """pillar-family schema (same keys as the voxelnet schema) ->
     models.pointpillars.PointPillarsConfig."""
@@ -143,6 +152,7 @@ def build_pointpillars_config(cfg: Config):
     return PointPillarsConfig(
         voxelizer=vox,
         num_classes=int(head_d.get("num_classes", 3)),
+        head=_build_anchor_head(cfg),
         class_names=_as_tuple(cfg.get("class_names", base.class_names)),
         anchor_ranges=_as_tuple(head_d.get("anchor_ranges", base.anchor_ranges), depth=2),
         anchor_sizes=_as_tuple(head_d.get("anchor_sizes", base.anchor_sizes), depth=2),

@@ -37,17 +37,27 @@ _OUT_FACTOR = 0.5
 
 def _build() -> Optional[ctypes.CDLL]:
     global _build_failed
-    os.makedirs(_BUILD_DIR, exist_ok=True)
-    if not os.path.isfile(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
-        try:
+    try:
+        os.makedirs(_BUILD_DIR, exist_ok=True)
+        have_so = os.path.isfile(_SO)
+        have_src = os.path.isfile(_SRC)
+        stale = (
+            have_so and have_src
+            and os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        )
+        if (not have_so or stale) and have_src:
+            cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
             subprocess.run(cmd, check=True, capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError):
+        elif not have_so:  # no prebuilt .so and no source to build it from
             _build_failed = True
             return None
-    lib = ctypes.CDLL(_SO)
-    lib.rpc_build_plan.restype = ctypes.c_int
-    return lib
+        lib = ctypes.CDLL(_SO)
+        lib.rpc_build_plan.restype = ctypes.c_int
+        return lib
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        # no compiler / unreadable paths: callers fall back to the jax builder
+        _build_failed = True
+        return None
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

@@ -136,9 +136,11 @@ def encoder_plan(
         import numpy as _np
 
         id_space = int(_np.prod([int(s) for s in g.spatial_shape], dtype=_np.int64))
-        xwin_cap = (
-            sparse.INT32_MAX - (1 << 26) if sparse.MP_RANKS else sparse._PACK_CAP
-        )
+        # neighbor_xwin_info switches to the WIDE two-key rank sort past the
+        # 2^30 pack cap, so the width rule holds for any int32 id space —
+        # keeping the plan layout identical between the jax and native
+        # builders at every batch size (the native builder has no cap)
+        xwin_cap = sparse._WIDE_BAND
         if cin <= XWIN_MAX_CIN and id_space + _SUBM_KERNEL[-1] < xwin_cap:
             xw = sparse.neighbor_xwin_info(
                 g, g.coords, g.mask, _SUBM_KERNEL, (1, 1, 1, 1), (0, 1, 1, 1)

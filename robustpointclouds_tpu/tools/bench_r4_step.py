@@ -64,7 +64,10 @@ def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
         plan = None
         host_ms = None
         if plan_mode:
-            builder = HostPlanBuilder(model_cfg)
+            # the native builder is fixed to the default XWIN_MAX_CIN=32
+            # layout — variants that change the width rule must build their
+            # plans with the jax builder or they'd measure the default plan
+            builder = HostPlanBuilder(model_cfg, use_native=(xwin_max_cin == 32))
             args = (batch_np.points, batch_np.points_mask)
             if assign:
                 args += (batch_np.gt_boxes, batch_np.gt_labels, batch_np.gt_mask)

@@ -21,7 +21,62 @@ from ..models.centerpoint import (
     CenterPointConfig,
     centerpoint_adversary_terms,
 )
-from .loop import TrainConfig, TrainState, make_optimizers, split_adversary_mask
+from .loop import (
+    CpuBoundBuilder,
+    TrainConfig,
+    TrainState,
+    make_optimizers,
+    split_adversary_mask,
+)
+
+
+class CenterPointPlanBuilder(CpuBoundBuilder):
+    """Host plan builder for the CenterPoint family (5-feature voxels +
+    gaussian heatmap targets riding along; native C++ core when present)."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        from ..models.center_detection import centerpoint_targets_single
+        from ..models.centerpoint import build_centerpoint_plan
+
+        self._cfg = cfg
+        self._fn = jax.jit(lambda p, m: build_centerpoint_plan(p, m, cfg))
+        self._fn_gt = jax.jit(
+            lambda p, m, gb, gl, gm, gv: build_centerpoint_plan(
+                p, m, cfg, gb, gl, gm, gv
+            )
+        )
+        feat = cfg.bev_feature_size
+        self._tgt_fn = jax.jit(jax.vmap(
+            lambda b, l, m, v: centerpoint_targets_single(
+                b, l, m, v, feat, cfg.head
+            )
+        ))
+        self._native = self._native_fn()
+        if self._native is not None:
+            self.backend = "native"
+
+    def __call__(self, points, points_mask, gt_boxes=None, gt_labels=None,
+                 gt_mask=None, gt_vel=None):
+        import numpy as np
+
+        cfg = self._cfg
+        if self._native is not None:
+            plan = self._native(
+                np.asarray(points), np.asarray(points_mask),
+                cfg.voxelizer, cfg.num_point_features,
+            )
+            if gt_boxes is not None:
+                plan["targets"] = self._on_cpu(
+                    lambda: self._tgt_fn(gt_boxes, gt_labels, gt_mask, gt_vel)
+                )
+            return plan
+        if gt_boxes is None:
+            return self._on_cpu(lambda: self._fn(points, points_mask))
+        return self._on_cpu(
+            lambda: self._fn_gt(points, points_mask, gt_boxes,
+                                gt_labels, gt_mask, gt_vel)
+        )
 
 
 class CenterPointTrainer:
@@ -138,73 +193,7 @@ class CenterPointTrainer:
         )
 
     def make_plan_builder(self):
-        from ..models.centerpoint import build_centerpoint_plan
-
-        cfg = self.model_cfg
-
-        class _Builder:
-            def __init__(self):
-                import os
-
-                try:
-                    self._cpu = jax.devices("cpu")[0]
-                except RuntimeError:
-                    self._cpu = None
-                self._fn = jax.jit(lambda p, m: build_centerpoint_plan(p, m, cfg))
-                self._fn_gt = jax.jit(
-                    lambda p, m, gb, gl, gm, gv: build_centerpoint_plan(
-                        p, m, cfg, gb, gl, gm, gv
-                    )
-                )
-                from ..models.center_detection import centerpoint_targets_single
-
-                feat = cfg.bev_feature_size
-                self._tgt_fn = jax.jit(jax.vmap(
-                    lambda b, l, m, v: centerpoint_targets_single(
-                        b, l, m, v, feat, cfg.head
-                    )
-                ))
-                self._native = None
-                if os.environ.get("RPC_NATIVE_PLAN", "1") == "1":
-                    try:
-                        from ..data.native_plan import (
-                            build_plan_native,
-                            native_plan_available,
-                        )
-
-                        if native_plan_available():
-                            self._native = build_plan_native
-                    except Exception:
-                        self._native = None
-
-            def _on_cpu(self, fn):
-                if self._cpu is None:
-                    return fn()
-                with jax.default_device(self._cpu):
-                    return fn()
-
-            def __call__(self, points, points_mask, gt_boxes=None,
-                         gt_labels=None, gt_mask=None, gt_vel=None):
-                import numpy as np
-
-                if self._native is not None:
-                    plan = self._native(
-                        np.asarray(points), np.asarray(points_mask),
-                        cfg.voxelizer, cfg.num_point_features,
-                    )
-                    if gt_boxes is not None:
-                        plan["targets"] = self._on_cpu(
-                            lambda: self._tgt_fn(gt_boxes, gt_labels, gt_mask, gt_vel)
-                        )
-                    return plan
-                if gt_boxes is None:
-                    return self._on_cpu(lambda: self._fn(points, points_mask))
-                return self._on_cpu(
-                    lambda: self._fn_gt(points, points_mask, gt_boxes,
-                                        gt_labels, gt_mask, gt_vel)
-                )
-
-        return _Builder()
+        return CenterPointPlanBuilder(self.model_cfg)
 
     def forward_eval(self, state, batch, attack: bool = False, plan=None):
         """`plan`: optional host-built sparse plan (build_centerpoint_plan,

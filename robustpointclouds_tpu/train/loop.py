@@ -113,7 +113,45 @@ def make_optimizers(cfg: TrainConfig):
     return det_tx, adv_tx
 
 
-class HostPlanBuilder:
+class CpuBoundBuilder:
+    """Shared plumbing for host plan builders: CPU-device probe, CPU-pinned
+    execution, and native-library detection (one place to change the
+    fallback/gating policy for every family's builder)."""
+
+    def __init__(self):
+        try:
+            self._cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            self._cpu = None  # no CPU backend registered: plans build on the
+            # default device (functional, but the host-overlap claim is off —
+            # bench.py reports plan_backend so the numbers stay honest)
+        self.backend = "cpu" if self._cpu is not None else jax.default_backend()
+
+    def _on_cpu(self, fn):
+        if self._cpu is None:
+            return fn()
+        with jax.default_device(self._cpu):
+            return fn()
+
+    @staticmethod
+    def _native_fn(use_native: bool = None):
+        """The native C++ core builder when available and enabled, else None.
+        RPC_NATIVE_PLAN=0 forces the jax builder."""
+        import os
+
+        if use_native is None:
+            use_native = os.environ.get("RPC_NATIVE_PLAN", "1") == "1"
+        if not use_native:
+            return None
+        try:
+            from ..data.native_plan import build_plan_native, native_plan_available
+
+            return build_plan_native if native_plan_available() else None
+        except Exception:
+            return None
+
+
+class HostPlanBuilder(CpuBoundBuilder):
     """Builds sparse plans (models/voxelnet.build_plan) on the CPU backend.
 
     The plan — voxelization plus every encoder neighbor/downsample index — is
@@ -129,16 +167,9 @@ class HostPlanBuilder:
     """
 
     def __init__(self, model_cfg: VoxelNetConfig, use_native: bool = None):
-        import os
-
+        super().__init__()
         from ..models.voxelnet import anchor_assign_plan, build_plan
 
-        try:
-            self._cpu = jax.devices("cpu")[0]
-        except RuntimeError:
-            self._cpu = None  # no CPU backend registered: plans build on the
-            # default device (functional, but the host-overlap claim is off —
-            # bench.py reports plan_backend so the numbers stay honest)
         self._cfg = model_cfg
         self._fn = jax.jit(
             lambda p, m, gb, gl, gm: build_plan(p, m, model_cfg, gb, gl, gm)
@@ -149,31 +180,10 @@ class HostPlanBuilder:
         )
         # native C++ index builder (csrc/plan.cpp): bit-equal, ~20x less host
         # time than the XLA-CPU jit — only the float anchor assignment stays
-        # on the jax path. RPC_NATIVE_PLAN=0 forces the jax builder.
-        self._native = None
-        if use_native is None:
-            use_native = os.environ.get("RPC_NATIVE_PLAN", "1") == "1"
-        if use_native:
-            try:
-                from ..data.native_plan import (
-                    build_plan_native,
-                    native_plan_available,
-                )
-
-                if native_plan_available():
-                    self._native = build_plan_native
-            except Exception:
-                self._native = None
-        self.backend = (
-            "native" if self._native is not None
-            else ("cpu" if self._cpu is not None else jax.default_backend())
-        )
-
-    def _on_cpu(self, fn):
-        if self._cpu is None:
-            return fn()
-        with jax.default_device(self._cpu):
-            return fn()
+        # on the jax path.
+        self._native = self._native_fn(use_native)
+        if self._native is not None:
+            self.backend = "native"
 
     def __call__(self, points, points_mask, gt_boxes=None, gt_labels=None,
                  gt_mask=None):
@@ -212,30 +222,20 @@ class HostPlanBuilder:
         )
 
 
-class PillarPlanBuilder:
+class PillarPlanBuilder(CpuBoundBuilder):
     """Host plan builder for the pillar family: voxelize + BEV grid + dense
     gather map (models/pointpillars.build_pillar_plan) plus the anchor
     assignment — the whole structure side of the pillar step, on CPU."""
 
     def __init__(self, model_cfg):
+        super().__init__()
         from ..models.pointpillars import build_pillar_plan
         from ..models.voxelnet import anchor_assign_plan
 
-        try:
-            self._cpu = jax.devices("cpu")[0]
-        except RuntimeError:
-            self._cpu = None
-        self.backend = "cpu" if self._cpu is not None else jax.default_backend()
         self._fn = jax.jit(lambda p, m: build_pillar_plan(p, m, model_cfg))
         self._assign_fn = jax.jit(
             lambda gb, gl, gm: anchor_assign_plan(gb, gl, gm, model_cfg)
         )
-
-    def _on_cpu(self, fn):
-        if self._cpu is None:
-            return fn()
-        with jax.default_device(self._cpu):
-            return fn()
 
     def __call__(self, points, points_mask, gt_boxes=None, gt_labels=None,
                  gt_mask=None):

@@ -136,3 +136,25 @@ def test_full_kitti_grid_bitwise():
 
     vz = VoxelNetConfig().voxelizer
     _run_case(vz, batch_size=2, num_points=20000, seed=7)
+
+
+def test_large_id_space_bitwise():
+    """Merged id space past the 2^30 pack cap (B=12 on the KITTI grid,
+    tiny voxel caps so it stays fast): the jax builder rides the WIDE
+    two-key rank sort and must still match the native builder bitwise —
+    including the x-window layout choice (review finding: the gate used to
+    fall back to dense idx here while the native builder kept xwin)."""
+    vz = VoxelizerConfig(
+        point_cloud_range=(0.0, -40.0, -3.0, 70.4, 40.0, 1.0),
+        voxel_size=(0.05, 0.05, 0.1),
+        max_points_per_voxel=2,
+        max_voxels=96,
+    )
+    assert 12 * (vz.grid_size[2] + 1) * vz.grid_size[1] * vz.grid_size[0] > 2 ** 30
+    _run_case(vz, batch_size=12, num_points=600, seed=8)
+    # and the layout really is x-window form on the 16/32ch grids
+    rng = np.random.RandomState(8)
+    b = synthetic_kitti_batch(rng, batch_size=12, num_points=600, max_gt=8,
+                              num_objects=3, point_range=vz.point_cloud_range)
+    got = build_plan_native(np.asarray(b.points), np.asarray(b.points_mask), vz, 4)
+    assert "rows" in got["enc"]["rel0"] and "rows" in got["enc"]["rel1"]
