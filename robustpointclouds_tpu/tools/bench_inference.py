@@ -31,9 +31,25 @@ def measure(batch_size, plan_mode, iters=10):
     from robustpointclouds_tpu.train.loop import HostPlanBuilder
 
     model_cfg = VoxelNetConfig()
+    num_points = 20000
+    if os.environ.get("BENCH_TINY", "0") == "1":
+        from robustpointclouds_tpu.ops.voxelize import VoxelizerConfig
+
+        model_cfg = VoxelNetConfig(
+            voxelizer=VoxelizerConfig(
+                point_cloud_range=(0.0, -8.0, -3.0, 16.0, 8.0, 1.0),
+                voxel_size=(0.5, 0.5, 0.125),
+                max_points_per_voxel=3, max_voxels=256,
+            ),
+            anchor_ranges=((0, -8.0, -0.6, 16.0, 8.0, -0.6),) * 3,
+        )
+        num_points = 512
     trainer = Trainer(model_cfg=model_cfg, train_cfg=TrainConfig())
     rng = np.random.RandomState(0)
-    batch_np = synthetic_kitti_batch(rng, batch_size=batch_size, num_points=20000)
+    batch_np = synthetic_kitti_batch(
+        rng, batch_size=batch_size, num_points=num_points,
+        point_range=model_cfg.voxelizer.point_cloud_range,
+    )
     batch = PointCloudBatch(*(jnp.asarray(x) for x in batch_np))
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
 

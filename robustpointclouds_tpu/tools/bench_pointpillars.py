@@ -39,11 +39,28 @@ def main():
 
     batch_size = int(os.environ.get("BENCH_BATCH", "6"))
     model_cfg = PointPillarsConfig()
+    num_points = 20000
+    if os.environ.get("BENCH_TINY", "0") == "1":
+        from robustpointclouds_tpu.ops.voxelize import VoxelizerConfig
+
+        model_cfg = PointPillarsConfig(
+            voxelizer=VoxelizerConfig(
+                point_cloud_range=(0.0, -8.0, -3.0, 16.0, 8.0, 1.0),
+                voxel_size=(0.5, 0.5, 4.0),
+                max_points_per_voxel=8, max_voxels=128,
+            ),
+            anchor_ranges=(
+                (0, -8.0, -1.78, 16.0, 8.0, -1.78),
+                (0, -8.0, -0.6, 16.0, 8.0, -0.6),
+                (0, -8.0, -0.6, 16.0, 8.0, -0.6),
+            ),
+        )
+        num_points = 512
     trainer = Trainer(model_cfg=model_cfg, train_cfg=TrainConfig())
 
     rng = np.random.RandomState(0)
     batch_np = synthetic_kitti_batch(
-        rng, batch_size=batch_size, num_points=20000, max_gt=20,
+        rng, batch_size=batch_size, num_points=num_points, max_gt=20,
         point_range=model_cfg.voxelizer.point_cloud_range,
     )
     batch = PointCloudBatch(*(jnp.asarray(x) for x in batch_np))

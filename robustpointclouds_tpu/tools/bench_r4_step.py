@@ -52,11 +52,26 @@ def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
     se.DENSE_GATHER = dense_gather
     snd.FPN_D2S = fpn_d2s
     try:
+        num_points = 20000
         model_cfg = VoxelNetConfig()
+        if os.environ.get("BENCH_TINY", "0") == "1":
+            # CPU smoke mode: exercises every variant's code path in seconds
+            from robustpointclouds_tpu.ops.voxelize import VoxelizerConfig
+
+            model_cfg = VoxelNetConfig(
+                voxelizer=VoxelizerConfig(
+                    point_cloud_range=(0.0, -8.0, -3.0, 16.0, 8.0, 1.0),
+                    voxel_size=(0.5, 0.5, 0.125),
+                    max_points_per_voxel=3, max_voxels=256,
+                ),
+                anchor_ranges=((0, -8.0, -0.6, 16.0, 8.0, -0.6),) * 3,
+            )
+            num_points = 512
         trainer = Trainer(model_cfg=model_cfg, train_cfg=TrainConfig())
         rng = np.random.RandomState(0)
         batch_np = synthetic_kitti_batch(
-            rng, batch_size=batch_size, num_points=20000, max_gt=20
+            rng, batch_size=batch_size, num_points=num_points, max_gt=20,
+            point_range=model_cfg.voxelizer.point_cloud_range,
         )
         batch = PointCloudBatch(*(jnp.asarray(x) for x in batch_np))
         state = trainer.init_state(jax.random.PRNGKey(0), batch)
