@@ -290,7 +290,146 @@ void xwin_from_idx(const int32_t* idx, const Grid& out_g, int64_t n_in, int kx,
 
 }  // namespace
 
+namespace {
+
+// shared per-batch hard voxelization (ops/voxelize semantics); fills the
+// [B,V,T,F] voxel tensors and returns per-sample counts + per-(b,v) flat3 ids
+void voxelize_all(const float* points, const uint8_t* points_mask,
+                  int64_t Bn, int64_t P, int64_t F,
+                  const float* pcr, const float* vs,
+                  int64_t V, int64_t T, int64_t nx, int64_t ny, int64_t nz,
+                  float* out_voxels, uint8_t* out_pmask,
+                  std::vector<int32_t>* counts, std::vector<int32_t>* vflat) {
+  const int64_t sentinel = nz * ny * nx;
+  counts->assign(Bn, 0);
+  vflat->assign(Bn * V, static_cast<int32_t>(sentinel));
+  std::memset(out_voxels, 0, sizeof(float) * Bn * V * T * F);
+  std::memset(out_pmask, 0, sizeof(uint8_t) * Bn * V * T);
+
+  std::vector<std::pair<int32_t, int32_t>> keyed(P);
+  for (int64_t b = 0; b < Bn; ++b) {
+    const float* pts = points + b * P * F;
+    const uint8_t* msk = points_mask + b * P;
+    int64_t nvalid = 0;
+    for (int64_t p = 0; p < P; ++p) {
+      int32_t flat = static_cast<int32_t>(sentinel);
+      if (msk[p]) {
+        const float fx = std::floor((pts[p * F + 0] - pcr[0]) / vs[0]);
+        const float fy = std::floor((pts[p * F + 1] - pcr[1]) / vs[1]);
+        const float fz = std::floor((pts[p * F + 2] - pcr[2]) / vs[2]);
+        if (fx >= 0 && fx < (float)nx && fy >= 0 && fy < (float)ny &&
+            fz >= 0 && fz < (float)nz) {
+          flat = static_cast<int32_t>((int64_t)fz * ny * nx +
+                                      (int64_t)fy * nx + (int64_t)fx);
+        }
+      }
+      keyed[p] = {flat, static_cast<int32_t>(p)};
+    }
+    std::stable_sort(keyed.begin(), keyed.end(),
+                     [](const auto& a, const auto& b) { return a.first < b.first; });
+    int64_t vr = -1;
+    int32_t cur = -1;
+    int64_t slot = 0;
+    for (int64_t s = 0; s < P; ++s) {
+      const int32_t flat = keyed[s].first;
+      if (flat == sentinel) break;
+      if (flat != cur) { ++vr; cur = flat; slot = 0; } else { ++slot; }
+      if (vr >= V || slot >= T) continue;
+      const int64_t src = keyed[s].second;
+      std::memcpy(out_voxels + ((b * V + vr) * T + slot) * F,
+                  pts + src * F, sizeof(float) * F);
+      out_pmask[(b * V + vr) * T + slot] = 1;
+      if (slot == 0) {
+        (*vflat)[b * V + vr] = flat;
+        ++nvalid;
+      }
+    }
+    (*counts)[b] = static_cast<int32_t>(std::min<int64_t>(nvalid, V));
+  }
+}
+
+}  // namespace
+
 extern "C" {
+
+// Pillar-family plan: voxelization + merged 2D (batch, y, x) BEV grid +
+// dense-cell gather map (models/pointpillars.build_pillar_plan twin).
+// Requires nz == 1 (single z pillar) so per-sample voxel order equals
+// ascending 2D flat order (asserted Python-side).
+int rpc_build_pillar_plan(const float* points, const uint8_t* points_mask,
+                          int64_t Bn, int64_t P, int64_t F,
+                          const float* pcr, const float* vs,
+                          int64_t V, int64_t T, int64_t nx, int64_t ny,
+                          int64_t nz, void** outs) {
+  int oi = 0;
+  float* out_voxels = static_cast<float*>(outs[oi++]);      // [B,V,T,F]
+  int32_t* out_vcoords = static_cast<int32_t*>(outs[oi++]); // [B,V,3]
+  int32_t* out_npoints = static_cast<int32_t*>(outs[oi++]); // [B,V]
+  uint8_t* out_vmask = static_cast<uint8_t*>(outs[oi++]);   // [B,V]
+  uint8_t* out_pmask = static_cast<uint8_t*>(outs[oi++]);   // [B,V,T]
+  int32_t* out_order = static_cast<int32_t*>(outs[oi++]);   // [B*V]
+  int32_t* out_gids = static_cast<int32_t*>(outs[oi++]);    // [B*V]
+  int32_t* out_gcoords = static_cast<int32_t*>(outs[oi++]); // [B*V,3]
+  uint8_t* out_gmask = static_cast<uint8_t*>(outs[oi++]);   // [B*V]
+  int32_t* out_dense = static_cast<int32_t*>(outs[oi++]);   // [B*ny*nx]
+
+  const int64_t N = Bn * V;
+  std::vector<int32_t> counts;
+  std::vector<int32_t> vflat;
+  voxelize_all(points, points_mask, Bn, P, F, pcr, vs, V, T, nx, ny, nz,
+               out_voxels, out_pmask, &counts, &vflat);
+
+  for (int64_t b = 0; b < Bn; ++b) {
+    for (int64_t v = 0; v < V; ++v) {
+      int32_t np = 0;
+      for (int64_t t = 0; t < T; ++t) np += out_pmask[(b * V + v) * T + t];
+      out_npoints[b * V + v] = np;
+      out_vmask[b * V + v] = np > 0 ? 1 : 0;
+      const int64_t flat = vflat[b * V + v];
+      if (np > 0) {
+        out_vcoords[(b * V + v) * 3 + 0] = static_cast<int32_t>(flat / (ny * nx));
+        out_vcoords[(b * V + v) * 3 + 1] =
+            static_cast<int32_t>((flat % (ny * nx)) / nx);
+        out_vcoords[(b * V + v) * 3 + 2] = static_cast<int32_t>(flat % nx);
+      } else {
+        out_vcoords[(b * V + v) * 3 + 0] = -1;
+        out_vcoords[(b * V + v) * 3 + 1] = -1;
+        out_vcoords[(b * V + v) * 3 + 2] = -1;
+      }
+    }
+  }
+
+  // merged 2D grid over (B, ny, nx); nz == 1 makes per-sample flat3 == flat2
+  const int64_t size = Bn * ny * nx;
+  for (int64_t i = 0; i < size; ++i) out_dense[i] = static_cast<int32_t>(N);
+  int64_t w = 0;
+  for (int64_t b = 0; b < Bn; ++b) {
+    for (int64_t v = 0; v < counts[b]; ++v) {
+      const int64_t flat3 = vflat[b * V + v];
+      const int64_t y = (flat3 % (ny * nx)) / nx, x = flat3 % nx;
+      const int64_t id2 = b * ny * nx + y * nx + x;
+      out_gids[w] = static_cast<int32_t>(id2);
+      out_gcoords[w * 3 + 0] = static_cast<int32_t>(b);
+      out_gcoords[w * 3 + 1] = static_cast<int32_t>(y);
+      out_gcoords[w * 3 + 2] = static_cast<int32_t>(x);
+      out_gmask[w] = 1;
+      out_dense[id2] = static_cast<int32_t>(w);
+      out_order[w] = static_cast<int32_t>(b * V + v);
+      ++w;
+    }
+  }
+  for (int64_t i = w; i < N; ++i) {
+    out_gids[i] = INT32_MAX;
+    out_gcoords[i * 3 + 0] = -1;
+    out_gcoords[i * 3 + 1] = -1;
+    out_gcoords[i * 3 + 2] = -1;
+    out_gmask[i] = 0;
+  }
+  for (int64_t b = 0; b < Bn; ++b)
+    for (int64_t v = counts[b]; v < V; ++v)
+      out_order[w++] = static_cast<int32_t>(b * V + v);
+  return 0;
+}
 
 // Builds the full sparse plan for the default encoder layout.
 // Returns 0 on success. All output buffers are caller-allocated with the
@@ -343,58 +482,12 @@ int rpc_build_plan(const float* points, const uint8_t* points_mask,
 
   const int64_t N = Bn * V;
   const int64_t D = nz + 1;  // sparse z (SECOND convention)
-  const int64_t sentinel = nz * ny * nx;
-
-  std::memset(out_voxels, 0, sizeof(float) * Bn * V * T * F);
-  std::memset(out_pmask, 0, sizeof(uint8_t) * Bn * V * T);
 
   // ---- per-sample hard voxelization (ops/voxelize.voxelize semantics) ----
-  std::vector<int32_t> counts(Bn, 0);
+  std::vector<int32_t> counts;
   std::vector<int32_t> vflat;   // per (b, v): flat3 id, ascending per sample
-  vflat.assign(Bn * V, static_cast<int32_t>(sentinel));
-
-  std::vector<std::pair<int32_t, int32_t>> keyed(P);  // (flat, point idx)
-  for (int64_t b = 0; b < Bn; ++b) {
-    const float* pts = points + b * P * F;
-    const uint8_t* msk = points_mask + b * P;
-    int64_t nvalid = 0;
-    for (int64_t p = 0; p < P; ++p) {
-      int32_t flat = static_cast<int32_t>(sentinel);
-      if (msk[p]) {
-        // same IEEE f32 ops XLA emits: (x - lo) / v, floor, bounds-check
-        const float fx = std::floor((pts[p * F + 0] - pcr[0]) / vs[0]);
-        const float fy = std::floor((pts[p * F + 1] - pcr[1]) / vs[1]);
-        const float fz = std::floor((pts[p * F + 2] - pcr[2]) / vs[2]);
-        if (fx >= 0 && fx < (float)nx && fy >= 0 && fy < (float)ny &&
-            fz >= 0 && fz < (float)nz) {
-          flat = static_cast<int32_t>((int64_t)fz * ny * nx +
-                                      (int64_t)fy * nx + (int64_t)fx);
-        }
-      }
-      keyed[p] = {flat, static_cast<int32_t>(p)};
-    }
-    std::stable_sort(keyed.begin(), keyed.end(),
-                     [](const auto& a, const auto& b) { return a.first < b.first; });
-    int64_t vr = -1;
-    int32_t cur = -1;
-    int64_t slot = 0;
-    for (int64_t s = 0; s < P; ++s) {
-      const int32_t flat = keyed[s].first;
-      if (flat == sentinel) break;  // invalid tail
-      if (flat != cur) { ++vr; cur = flat; slot = 0; } else { ++slot; }
-      if (vr >= V || slot >= T) continue;
-      const int64_t src = keyed[s].second;
-      float* dst = out_voxels + ((b * V + vr) * T + slot) * F;
-      std::memcpy(dst, pts + src * F, sizeof(float) * F);
-      out_pmask[(b * V + vr) * T + slot] = 1;
-      if (slot == 0) {
-        vflat[b * V + vr] = flat;
-        ++nvalid;
-      }
-    }
-    counts[b] = static_cast<int32_t>(std::min<int64_t>(nvalid, V));
-    (void)nvalid;
-  }
+  voxelize_all(points, points_mask, Bn, P, F, pcr, vs, V, T, nx, ny, nz,
+               out_voxels, out_pmask, &counts, &vflat);
   for (int64_t b = 0; b < Bn; ++b) {
     for (int64_t v = 0; v < V; ++v) {
       int32_t np = 0;

@@ -53,6 +53,7 @@ def _build() -> Optional[ctypes.CDLL]:
             return None
         lib = ctypes.CDLL(_SO)
         lib.rpc_build_plan.restype = ctypes.c_int
+        lib.rpc_build_pillar_plan.restype = ctypes.c_int
         return lib
     except (subprocess.CalledProcessError, FileNotFoundError, OSError):
         # no compiler / unreadable paths: callers fall back to the jax builder
@@ -70,6 +71,54 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 def native_plan_available() -> bool:
     return get_lib() is not None
+
+
+def build_pillar_plan_native(points: np.ndarray, points_mask: np.ndarray,
+                             voxelizer, num_features: int = 4) -> dict:
+    """Native twin of models/pointpillars.build_pillar_plan.
+
+    Requires a single-z pillar grid (nz == 1): per-sample voxel order then
+    equals ascending 2D flat order, which the merge relies on.
+    """
+    lib = get_lib()
+    assert lib is not None, "native plan builder unavailable"
+    nx, ny, nz = voxelizer.grid_size
+    assert nz == 1, "native pillar plan requires a single-z pillar grid"
+    B, P = points.shape[:2]
+    F = num_features
+    V, T = voxelizer.max_voxels, voxelizer.max_points_per_voxel
+    N = B * V
+    pts = np.ascontiguousarray(points[..., :F], np.float32)
+    msk = np.ascontiguousarray(points_mask, np.uint8)
+    pcr = np.asarray(voxelizer.point_cloud_range, np.float32)
+    vs = np.asarray(voxelizer.voxel_size, np.float32)
+    a = {
+        "voxels": np.empty((B, V, T, F), np.float32),
+        "vox_coords": np.empty((B, V, 3), np.int32),
+        "num_points": np.empty((B, V), np.int32),
+        "voxel_mask": np.empty((B, V), bool),
+        "point_mask": np.empty((B, V, T), bool),
+        "order": np.empty((N,), np.int32),
+        "grid_ids": np.empty((N,), np.int32),
+        "grid_coords": np.empty((N, 3), np.int32),
+        "grid_mask": np.empty((N,), bool),
+        "dense": np.empty((B * ny * nx,), np.int32),
+    }
+    outs = (ctypes.c_void_p * len(a))(
+        *[v.ctypes.data_as(ctypes.c_void_p).value for v in a.values()]
+    )
+    rc = lib.rpc_build_pillar_plan(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        msk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(B), ctypes.c_int64(P), ctypes.c_int64(F),
+        pcr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        vs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(V), ctypes.c_int64(T),
+        ctypes.c_int64(nx), ctypes.c_int64(ny), ctypes.c_int64(nz),
+        outs,
+    )
+    assert rc == 0, f"rpc_build_pillar_plan failed: {rc}"
+    return dict(a)
 
 
 def build_plan_native(points: np.ndarray, points_mask: np.ndarray, voxelizer,

@@ -232,16 +232,32 @@ class PillarPlanBuilder(CpuBoundBuilder):
         from ..models.pointpillars import build_pillar_plan
         from ..models.voxelnet import anchor_assign_plan
 
+        self._cfg = model_cfg
         self._fn = jax.jit(lambda p, m: build_pillar_plan(p, m, model_cfg))
         self._assign_fn = jax.jit(
             lambda gb, gl, gm: anchor_assign_plan(gb, gl, gm, model_cfg)
         )
+        self._native = None
+        if model_cfg.voxelizer.grid_size[2] == 1:  # single-z pillar grid only
+            fn = self._native_fn()
+            if fn is not None:
+                from ..data.native_plan import build_pillar_plan_native
+
+                self._native = build_pillar_plan_native
+                self.backend = "native"
 
     def __call__(self, points, points_mask, gt_boxes=None, gt_labels=None,
                  gt_mask=None):
-        plan = self._on_cpu(lambda: self._fn(points, points_mask))
+        import numpy as np
+
+        if self._native is not None:
+            plan = self._native(
+                np.asarray(points), np.asarray(points_mask),
+                self._cfg.voxelizer,
+            )
+        else:
+            plan = dict(self._on_cpu(lambda: self._fn(points, points_mask)))
         if gt_boxes is not None:
-            plan = dict(plan)
             plan["assign"] = self._on_cpu(
                 lambda: self._assign_fn(gt_boxes, gt_labels, gt_mask)
             )

@@ -158,3 +158,33 @@ def test_large_id_space_bitwise():
                               num_objects=3, point_range=vz.point_cloud_range)
     got = build_plan_native(np.asarray(b.points), np.asarray(b.points_mask), vz, 4)
     assert "rows" in got["enc"]["rel0"] and "rows" in got["enc"]["rel1"]
+
+
+def test_pillar_plan_bitwise():
+    """rpc_build_pillar_plan == models/pointpillars.build_pillar_plan."""
+    from robustpointclouds_tpu.data.native_plan import build_pillar_plan_native
+    from robustpointclouds_tpu.models import PointPillarsConfig
+    from robustpointclouds_tpu.models.pointpillars import build_pillar_plan
+
+    cfg = PointPillarsConfig(
+        voxelizer=VoxelizerConfig(
+            point_cloud_range=(0.0, -8.0, -3.0, 16.0, 8.0, 1.0),
+            voxel_size=(0.5, 0.5, 4.0),
+            max_points_per_voxel=8,
+            max_voxels=128,
+        ),
+    )
+    for seed in (0, 1):
+        rng = np.random.RandomState(seed)
+        b = synthetic_kitti_batch(
+            rng, batch_size=3, num_points=700, max_gt=8, num_objects=3,
+            point_range=cfg.voxelizer.point_cloud_range,
+        )
+        ref = jax.jit(lambda p, m: build_pillar_plan(p, m, cfg))(
+            jnp.asarray(b.points), jnp.asarray(b.points_mask)
+        )
+        ref = jax.tree_util.tree_map(np.asarray, ref)
+        got = build_pillar_plan_native(
+            np.asarray(b.points), np.asarray(b.points_mask), cfg.voxelizer
+        )
+        _compare(ref, got)
