@@ -186,10 +186,22 @@ def run_training(
 
     shard = None
     if mesh is not None:
-        from ..parallel.mesh import replicate, shard_batch
+        from ..parallel.mesh import (
+            replicate,
+            shard_batch,
+            shard_stacked,
+            stack_plans,
+        )
 
         def shard(batch):
             return shard_batch(batch, mesh)
+
+    # DDP over the mesh (reference --launcher pytorch, train.py:57-60): each
+    # device gets its own host-built sub-plan and the shard_map'd step pmeans
+    # grads — true work partitioning. Trainers without compile_sharded fall
+    # back to the GSPMD global-view step with a replicated plan.
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    use_ddp = n_dev > 1 and hasattr(trainer, "compile_sharded")
 
     # Host-side sparse-plan pipeline: the plan (voxelization + every encoder
     # index — the step's structure sorts) is a pure function of the points,
@@ -206,16 +218,34 @@ def run_training(
                 # async transfer that overlaps like any input); the logged
                 # value lags the consumed step by the prefetch queue depth
                 t0 = time.time()
-                plan = plan_builder(
+                args = (
                     np.asarray(batch.points), np.asarray(batch.points_mask),
                     np.asarray(batch.gt_boxes), np.asarray(batch.gt_labels),
                     np.asarray(batch.gt_mask),
                 )
-                plan_ms["last"] = (time.time() - t0) * 1000
-                if mesh is not None:
-                    plan = replicate(plan, mesh)
+                if use_ddp:
+                    # one sub-plan per device (reference DDP: every rank runs
+                    # its own index build on its local batch)
+                    b = args[0].shape[0]
+                    if b % n_dev:
+                        raise ValueError(
+                            f"batch size {b} not divisible by the {n_dev}-device"
+                            " mesh — pick batch_size = k * n_devices"
+                        )
+                    k = b // n_dev
+                    plan = stack_plans([
+                        plan_builder(*(a[i * k:(i + 1) * k] for a in args))
+                        for i in range(n_dev)
+                    ])
+                    plan_ms["last"] = (time.time() - t0) * 1000
+                    plan = shard_stacked(plan, mesh)
                 else:
-                    plan = jax.device_put(plan, jax.devices()[0])
+                    plan = plan_builder(*args)
+                    plan_ms["last"] = (time.time() - t0) * 1000
+                    if mesh is not None:
+                        plan = replicate(plan, mesh)
+                    else:
+                        plan = jax.device_put(plan, jax.devices()[0])
             yield batch, plan
 
     rng = jax.random.PRNGKey(seed)
@@ -236,7 +266,12 @@ def run_training(
             print(f"[resume] restored epoch {latest} from {work_dir}")
         else:
             print(f"[resume] no checkpoint in {work_dir}, starting fresh")
-    trainer.compile(donate=False)
+    if use_ddp:
+        # the stacked per-device sub-plans built above only make sense to the
+        # shard_map'd DDP step (each device peels its own sub-plan)
+        trainer.compile_sharded(mesh, donate=False)
+    else:
+        trainer.compile(donate=False)
 
     history = {}
     t_start = time.time()

@@ -90,6 +90,21 @@ def with_batch_axis(
         them with the grid rows.
     """
     B, V = coords.shape[:2]
+    # int32 flat-id ceiling (VERDICT r4 #7): merged ids are
+    # b * prod(spatial) + spatial_offset in int32, so the merged id space
+    # must stay below 2^31 (B <= 23 at the KITTI 41x1600x1408 grid). Shapes
+    # are static, so this fails loudly at trace/config time instead of
+    # silently corrupting ids. Scale batch over the data-parallel mesh
+    # (per-DEVICE sub-batches each get their own id space) instead.
+    id_space = B * int(np.prod(spatial_shape))
+    if id_space >= 1 << 31:
+        raise ValueError(
+            f"merged flat-id space B*prod(sparse_shape) = {B}*"
+            f"{int(np.prod(spatial_shape))} = {id_space} overflows int32 "
+            f"(max batch here: {((1 << 31) - 1) // int(np.prod(spatial_shape))}). "
+            "Shard the batch over the mesh (per-device sub-plans) instead of "
+            "growing the per-device batch."
+        )
     batch_col = jnp.broadcast_to(
         jnp.arange(B, dtype=jnp.int32)[:, None, None], (B, V, 1)
     )

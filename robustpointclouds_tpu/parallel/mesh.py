@@ -31,3 +31,24 @@ def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree (params/optimizer state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def stack_plans(plans: Sequence):
+    """Stack per-device host plans into one pytree with a leading device axis.
+
+    The merged-batch plan arrays (sorted flat ids, encoder neighbor indices)
+    have NO batch axis — each plan is one merged index space — so they cannot
+    be batch-sharded directly. True data-parallel partitioning instead gives
+    every device its OWN sub-plan over its local sub-batch: the loader builds
+    one plan per device group and this stacks them ([n_dev, ...] leaves) for
+    `shard_stacked` + the shard_map'd train step (train/loop.compile_sharded).
+    The reference's DDP does the same thing implicitly: every rank runs
+    spconv's index build on its local batch (train.py:57-60).
+    """
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *plans)
+
+
+def shard_stacked(tree, mesh: Mesh, axis_name: str = "data"):
+    """Shard a stacked pytree's leading (device) axis over the mesh."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -364,8 +364,11 @@ class Trainer:
         }
         return total, (mutated.get("batch_stats", batch_stats), logs, is_nan)
 
-    def _step_impl(self, state: TrainState, batch: PointCloudBatch, epoch,
-                   plan=None):
+    def _grads(self, state: TrainState, batch: PointCloudBatch, epoch,
+               plan=None):
+        """Gradient half of the step: loss backward + NaN sanitation. Split
+        from :meth:`_apply` so the shard_map'd DDP step can insert its
+        cross-device pmean between the two."""
         grads, (new_stats, logs, is_nan) = jax.grad(self._loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, epoch,
             state.adversary_enabled, plan,
@@ -383,6 +386,11 @@ class Trainer:
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
         )
+        return grads, new_stats, logs, is_nan
+
+    def _apply(self, state: TrainState, grads, new_stats, logs, is_nan):
+        """Optimizer half of the step (deterministic given grads, so every
+        DDP replica computes the identical update from the pmean'd grads)."""
         adv_mask = split_adversary_mask(state.params)
 
         det_updates, new_opt_det = self.det_tx.update(
@@ -425,9 +433,68 @@ class Trainer:
         )
         return new_state, logs
 
+    def _step_impl(self, state: TrainState, batch: PointCloudBatch, epoch,
+                   plan=None):
+        return self._apply(state, *self._grads(state, batch, epoch, plan))
+
+    def _sharded_step_impl(self, state: TrainState, batch: PointCloudBatch,
+                           epoch, plan=None):
+        """Per-device body of the DDP step (runs inside shard_map).
+
+        `batch` leaves are this device's batch rows; `plan` (if any) carries
+        a leading device axis of local size 1 — each device consumes its OWN
+        sub-plan, so the merged-batch index arrays (which have no batch axis
+        and therefore cannot be GSPMD-sharded) partition by construction.
+        """
+        local_plan = None if plan is None else jax.tree_util.tree_map(
+            lambda x: x[0], plan
+        )
+        grads, new_stats, logs, is_nan = self._grads(state, batch, epoch, local_plan)
+        # Reference-DDP reductions (train.py:57-60 / torch DistributedDataParallel):
+        # mean gradients; BN running stats and scalar logs are likewise
+        # averaged so checkpoints/logs stay replica-consistent (per-device
+        # normalization within the forward is the reference's non-sync-BN DDP
+        # semantic). Any device's NaN counts as a global NaN step so the
+        # ladder and the update freeze act identically on every replica.
+        grads = jax.lax.pmean(grads, "data")
+        new_stats = jax.lax.pmean(new_stats, "data")
+        logs = jax.lax.pmean(logs, "data")
+        is_nan = jax.lax.psum(is_nan.astype(jnp.int32), "data") > 0
+        return self._apply(state, grads, new_stats, logs, is_nan)
+
     def compile(self, donate: bool = True):
         kwargs = dict(donate_argnums=(0,)) if donate else {}
         self._train_step = jax.jit(self._step_impl, **kwargs)
+        return self
+
+    def compile_sharded(self, mesh, donate: bool = True, axis_name: str = "data"):
+        """True data-parallel train step over `mesh` (the production multi-chip
+        path): each device runs the full step on its batch shard with its own
+        host-built sub-plan (parallel.stack_plans + shard_stacked), then
+        grads/BN-stats/logs are pmean'd over ICI. This partitions the work —
+        per-device compiled FLOPs are ~1/n of the global step
+        (tests/test_parallel.py asserts the ratio) — unlike replicating the
+        plan under plain GSPMD jit, where the merged-batch index arrays (no
+        batch axis) pin the whole encoder to replicated sharding. Semantics
+        match the reference's DDP (train.py:57-60): per-rank index builds,
+        per-rank batch statistics, gradient all-reduce.
+
+        Works with plan=None too: each device then traces the inline index
+        build on its local sub-batch.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        step = jax.shard_map(
+            self._sharded_step_impl,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name), P(), P(axis_name)),
+            out_specs=(P(), P()),
+            # the custom-VJP sparse conv ops defeat the replication checker;
+            # replication of the outputs is guaranteed by the pmeans above
+            check_vma=False,
+        )
+        kwargs = dict(donate_argnums=(0,)) if donate else {}
+        self._train_step = jax.jit(step, **kwargs)
         return self
 
     def train_step(self, state: TrainState, batch: PointCloudBatch, epoch: int,

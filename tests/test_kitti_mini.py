@@ -1,0 +1,117 @@
+"""Committed real-format KITTI mini-fixture, end to end (VERDICT r4 #5).
+
+tests/fixtures/kitti_mini holds 3 frames in the REAL on-disk KITTI layout
+(velodyne float32 .bin, camera-frame label_2 txt, full calib txt, ImageSets
+splits — the data contract of reference configs/_base_/kitti-3d-car.py:27-103),
+generated once by tests/fixtures/make_kitti_mini.py and checked in. Unlike the
+tmp_path fixtures in test_kitti_reader.py, these files exercise the readers on
+bytes that live in the repo: reader -> host plan builder -> train step ->
+eval CLI, all in the default tier.
+"""
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from robustpointclouds_tpu.data import kitti
+from robustpointclouds_tpu.train import TrainConfig, Trainer
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_model import tiny_cfg  # noqa: E402
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "kitti_mini")
+
+
+def test_fixture_layout_is_real_kitti():
+    assert kitti.kitti_available(FIXTURE)
+    for sub in ("training/velodyne/000000.bin", "training/label_2/000001.txt",
+                "training/calib/000002.txt", "ImageSets/train.txt",
+                "ImageSets/val.txt"):
+        assert os.path.isfile(os.path.join(FIXTURE, sub)), sub
+
+
+def test_reader_roundtrips_camera_labels():
+    """read_label's camera->lidar inversion recovers the authored lidar boxes
+    (the fixture labels were written by the exact forward transform)."""
+    ds = kitti.KittiDataset(FIXTURE, split="train")
+    assert len(ds) == 2
+    s = ds.get(0)
+    # raw velodyne bytes: float32 xyzi
+    assert s["points"].dtype == np.float32 and s["points"].shape[1] == 4
+    assert s["points"].shape[0] > 500
+    # frame 000000: Car @ (6, 2, -0.92) l=3.9 w=1.6 h=1.56 yaw=0.3, then a
+    # Pedestrian; the DontCare row is dropped into its own field
+    assert len(s["gt_boxes"]) == 2
+    np.testing.assert_allclose(
+        s["gt_boxes"][0], [6.0, 2.0, -0.92, 3.9, 1.6, 1.56, 0.30], atol=2e-4
+    )
+    assert s["gt_labels"].tolist() == [0, 1]
+    assert s["gt_difficulty"].tolist() == [0, 1]  # 48px easy / 30px moderate
+    assert s["dontcare"].shape == (1, 4)
+    # frame 000001 carries a Van: filtered out by the 3-class config
+    s1 = ds.get(1)
+    assert len(s1["gt_boxes"]) == 2
+    assert s1["gt_labels"].tolist() == [0, 2]
+
+
+def test_plan_fed_train_step_on_fixture():
+    """Loader -> host plan builder -> plan-fed train step on the committed
+    files: the production input path end to end."""
+    cfg = tiny_cfg()
+    loader = kitti.kitti_epoch_loader(
+        FIXTURE, batch_size=2, model_cfg=cfg, steps_per_epoch=1,
+        num_points=1024, max_gt=8, augment=False, use_native=False,
+    )
+    batch = next(iter(loader(0)))
+    assert bool(batch.points_mask.any()) and bool(batch.gt_mask.any())
+
+    trainer = Trainer(model_cfg=cfg, train_cfg=TrainConfig(warmup_iters=5))
+    trainer.compile(donate=False)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    plan = trainer.make_plan_builder()(
+        np.asarray(batch.points), np.asarray(batch.points_mask),
+        np.asarray(batch.gt_boxes), np.asarray(batch.gt_labels),
+        np.asarray(batch.gt_mask),
+    )
+    new_state, logs = trainer.train_step(state, batch, epoch=5, plan=plan)
+    assert np.isfinite(float(logs["loss"]))
+    assert int(new_state.step) == 1
+
+
+def test_eval_cli_on_fixture():
+    """The eval CLI's real-data path (kitti_val_loader over ImageSets/val.txt)
+    runs on the committed files and produces the KITTI metric surface."""
+    from robustpointclouds_tpu.cli.evaluate_kitti_3class import evaluate_checkpoint
+
+    res = evaluate_checkpoint(
+        "work_dirs/__does_not_exist__", FIXTURE, 1, False, None,
+        tiny=True, allow_random_init=True,
+    )
+    for key in ("mAP_3d_moderate", "Car_3d_moderate", "Car_bev_moderate",
+                "Car_2d_moderate", "Car_aos_moderate"):
+        assert key in res, key
+
+
+def test_generator_is_reproducible(tmp_path):
+    """The checked-in fixture matches its generator bit for bit — the files
+    are auditable, not hand-edited binaries."""
+    import importlib.util
+    import shutil
+
+    gen_src = os.path.join(os.path.dirname(FIXTURE), "make_kitti_mini.py")
+    gen_copy = tmp_path / "make_kitti_mini.py"
+    shutil.copy(gen_src, gen_copy)
+    spec = importlib.util.spec_from_file_location("make_kitti_mini_tmp", gen_copy)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.ROOT = str(tmp_path / "kitti_mini")
+    mod.main()
+    for rel in ("training/velodyne/000001.bin", "training/label_2/000002.txt",
+                "training/calib/000000.txt"):
+        with open(os.path.join(FIXTURE, rel), "rb") as f:
+            committed = f.read()
+        with open(os.path.join(str(tmp_path / "kitti_mini"), rel), "rb") as f:
+            regenerated = f.read()
+        assert committed == regenerated, rel

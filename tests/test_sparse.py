@@ -144,3 +144,21 @@ def test_scatter_to_dense():
     assert dense[0, 1, 2].tolist() == [1.0, 2.0]
     assert dense[1, 0, 0].tolist() == [3.0, 4.0]
     assert np.abs(dense).sum() == pytest.approx(10.0)
+
+
+def test_int32_id_ceiling_fails_fast():
+    """B * prod(sparse_shape) >= 2^31 must raise at trace/config time instead
+    of silently corrupting merged flat ids (VERDICT r4 #7). B=24 at the KITTI
+    41x1600x1408 grid is just past the ceiling; B=23 is the documented max."""
+    import pytest
+
+    kitti_shape = (41, 1600, 1408)
+    coords = jnp.zeros((24, 4, 3), jnp.int32)
+    mask = jnp.ones((24, 4), bool)
+    with pytest.raises(ValueError, match="overflows int32"):
+        sparse.with_batch_axis(coords, mask, kitti_shape)
+    # one below the ceiling still traces
+    grid, order = sparse.with_batch_axis(
+        jnp.zeros((23, 4, 3), jnp.int32), jnp.ones((23, 4), bool), kitti_shape
+    )
+    assert grid.flat_ids.shape == (23 * 4,)
