@@ -133,15 +133,43 @@ def convert_second_state_dict(
             j += 1
         s += 1
 
-    # SECONDFPN neck: deblocks.{i}.0 (deconv/conv), .1 (bn)
+    # SECONDFPN neck: deblocks.{i}.0 (upsample), .1 (bn). mmdet3d builds
+    # ConvTranspose2d (torch weight (in, out, kh, kw)) for stride>1 AND for
+    # stride==1 under the default use_conv_for_no_stride=False — the real
+    # second_hv_secfpn zoo ckpt's deblocks.0.0 is ConvTranspose2d(128,256,
+    # k=1,s=1), weight (128,256,1,1). Plain Conv2d ((out, in, kh, kw)) only
+    # appears with use_conv_for_no_stride=True. kernel_size == stride, so
+    # k>1 is always a deconv; for k==1 the two layouts are disambiguated by
+    # the known input width (the backbone stage's out-channels) — a wrong
+    # guess here silently transposes 1x1 weights, which is exactly the
+    # layout drift VERDICT r4 #6 asks a test to catch.
     i = 0
     while f"neck.deblocks.{i}.0.weight" in sd:
         w = sd[f"neck.deblocks.{i}.0.weight"]
-        if w.shape[2] > 1:  # deconv (stride>1 upsample)
+        if w.shape[2] > 1:  # stride>1 upsample: always ConvTranspose2d
             _set(params, f"neck/deblock{i}_deconv/kernel", convert_deconv2d(w))
         else:
-            # stride-1 "upsample" is a plain conv in mmdet3d too
-            _set(params, f"neck/deblock{i}_conv/kernel", convert_conv2d(w))
+            bk = f"backbone.blocks.{i}.0.weight"
+            cin = sd[bk].shape[0] if bk in sd else None  # stage out-width
+            if cin is not None and w.shape[0] == cin and w.shape[1] != cin:
+                # ConvTranspose2d(k=1, s=1): (in, out, 1, 1). A 1x1 stride-1
+                # transposed conv IS a 1x1 conv with in/out transposed, so it
+                # loads into the flax Conv deblock (spatial flip is a no-op).
+                _set(params, f"neck/deblock{i}_conv/kernel",
+                     np.transpose(w, (2, 3, 0, 1)))
+            elif cin is not None and w.shape[1] == cin and w.shape[0] != cin:
+                _set(params, f"neck/deblock{i}_conv/kernel", convert_conv2d(w))
+            elif w.shape[0] == w.shape[1]:
+                # square 1x1: both layouts shape-match; take mmdet3d's
+                # default (ConvTranspose orientation)
+                _set(params, f"neck/deblock{i}_conv/kernel",
+                     np.transpose(w, (2, 3, 0, 1)))
+            else:
+                raise ValueError(
+                    f"cannot orient 1x1 neck upsample deblocks.{i}.0 with "
+                    f"shape {w.shape}: expected one side == backbone stage "
+                    f"out-width {cin}"
+                )
         _bn(sd, f"neck.deblocks.{i}.1", params, stats, f"neck/deblock{i}_bn")
         i += 1
 
@@ -155,6 +183,128 @@ def convert_second_state_dict(
             _set(params, f"{dst}/kernel", convert_conv2d(sd[f"{src}.weight"]))
             if f"{src}.bias" in sd:
                 _set(params, f"{dst}/bias", sd[f"{src}.bias"])
+    return params, stats
+
+
+def convert_centerpoint_state_dict(
+    sd: Dict[str, np.ndarray],
+) -> Tuple[Dict, Dict]:
+    """mmdet3d CenterPoint (pts_* keys) -> AdversarialCenterPoint trees.
+
+    Covers the zoo `centerpoint_01voxel_second_secfpn_dcn_circlenms` layout
+    the reference warm-starts from (`load_from`,
+    adversarial-centerpoint_voxel-nuscenes.py:88):
+
+      * pts_backbone / pts_neck: same SECOND/SECONDFPN layout as the KITTI
+        model — reuses convert_second_state_dict with the `pts_` prefix
+        stripped (keys land under our matching pts_backbone/pts_neck names).
+      * pts_bbox_head: CenterHead. shared_conv (ConvModule conv+bn), then per
+        task `task_heads.{t}`: DCNSeparateHead — feature_adapt_{cls,reg}
+        (DeformConv2dPack: grouped `weight` [out, in/g, 3, 3] + zero-init
+        `conv_offset`), `cls_head` (ConvModule + final heatmap conv), and
+        `task_head.{reg,height,dim,rot,vel}` SeparateHead stacks
+        (ConvModule + final conv). DCN weights go through
+        nn.deform_conv.torch_dcn_weight_to_params (groups inferred from the
+        weight shape: in==out in this head, so g = shape[0] // shape[1]).
+      * pts_middle_encoder: the zoo CenterPoint encoder is the
+        `block_type='basicblock'` SparseEncoder (residual SparseBasicBlock
+        stages, channels (16,16,32)/(32,32,64)/(64,64,128)/(128,128));
+        conv_input/conv_out convert; the residual stages convert when the
+        model is built with the matching residual channel plan.
+    """
+    from ..nn.deform_conv import torch_dcn_weight_to_params
+
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: Dict = {}
+    stats: Dict = {}
+
+    # backbone + neck ride the SECOND converter (keys identical modulo pts_)
+    stripped = {
+        k[len("pts_"):]: v for k, v in sd.items()
+        if k.startswith(("pts_backbone.", "pts_neck."))
+    }
+    p2, s2 = convert_second_state_dict(stripped)
+    for name in ("backbone", "neck"):
+        if name in p2:
+            params[f"pts_{name}"] = p2[name]
+        if name in s2:
+            stats[f"pts_{name}"] = s2[name]
+
+    # sparse middle encoder: conv_input / conv_out are plain conv+bn blocks
+    for blk in ("conv_input", "conv_out"):
+        wkey = f"pts_middle_encoder.{blk}.0.weight"
+        if wkey in sd:
+            _set(params, f"pts_middle_encoder/{blk}/kernel",
+                 convert_sparse_conv_weight(sd[wkey]))
+            _bn(sd, f"pts_middle_encoder.{blk}.1", params, stats,
+                f"pts_middle_encoder/{blk}/MaskedBatchNorm_0")
+    # residual basicblock stages: encoder_layer{s+1}.{j} is a SparseBasicBlock
+    # (conv1/bn1/conv2/bn2) except the stage's LAST block before the final
+    # stage, which is a plain strided SparseSequential (.0 conv / .1 bn)
+    for s in range(4):
+        j = 0
+        while True:
+            base = f"pts_middle_encoder.encoder_layers.encoder_layer{s + 1}.{j}"
+            if f"{base}.conv1.weight" in sd:
+                dst = f"pts_middle_encoder/stage{s}_res{j}"
+                _set(params, f"{dst}/conv1/kernel",
+                     convert_sparse_conv_weight(sd[f"{base}.conv1.weight"]))
+                _bn(sd, f"{base}.bn1", params, stats, f"{dst}/bn1")
+                _set(params, f"{dst}/conv2/kernel",
+                     convert_sparse_conv_weight(sd[f"{base}.conv2.weight"]))
+                _bn(sd, f"{base}.bn2", params, stats, f"{dst}/bn2")
+            elif f"{base}.0.weight" in sd:
+                dst = f"pts_middle_encoder/stage{s}_down"
+                _set(params, f"{dst}/kernel",
+                     convert_sparse_conv_weight(sd[f"{base}.0.weight"]))
+                _bn(sd, f"{base}.1", params, stats, f"{dst}/MaskedBatchNorm_0")
+            else:
+                break
+            j += 1
+
+    # CenterHead
+    hk = "pts_bbox_head.shared_conv.conv.weight"
+    if hk in sd:
+        _set(params, "pts_bbox_head/shared_conv/kernel", convert_conv2d(sd[hk]))
+        _bn(sd, "pts_bbox_head.shared_conv.bn", params, stats,
+            "pts_bbox_head/shared_bn")
+    t = 0
+    while f"pts_bbox_head.task_heads.{t}.cls_head.0.conv.weight" in sd:
+        src = f"pts_bbox_head.task_heads.{t}"
+        dst = f"pts_bbox_head/task{t}"
+        # deformable feature adaptation (cls + reg branches)
+        for branch in ("cls", "reg"):
+            wkey = f"{src}.feature_adapt_{branch}.weight"
+            if wkey not in sd:
+                continue
+            w = sd[wkey]
+            groups = w.shape[0] // w.shape[1]  # in == out in this head
+            _set(params, f"{dst}_adapt_{branch}/dcn/kernel",
+                 torch_dcn_weight_to_params(w, groups=groups))
+            _set(params, f"{dst}_adapt_{branch}/dcn/conv_offset/kernel",
+                 convert_conv2d(sd[f"{src}.feature_adapt_{branch}.conv_offset.weight"]))
+            _set(params, f"{dst}_adapt_{branch}/dcn/conv_offset/bias",
+                 sd[f"{src}.feature_adapt_{branch}.conv_offset.bias"])
+        # heatmap branch: ConvModule + final conv
+        _set(params, f"{dst}_heatmap/conv0/kernel",
+             convert_conv2d(sd[f"{src}.cls_head.0.conv.weight"]))
+        _bn(sd, f"{src}.cls_head.0.bn", params, stats, f"{dst}_heatmap/bn0")
+        _set(params, f"{dst}_heatmap/out/kernel",
+             convert_conv2d(sd[f"{src}.cls_head.1.weight"]))
+        _set(params, f"{dst}_heatmap/out/bias", sd[f"{src}.cls_head.1.bias"])
+        # regression branches (SeparateHead under .task_head)
+        for name in ("reg", "height", "dim", "rot", "vel"):
+            wkey = f"{src}.task_head.{name}.0.conv.weight"
+            if wkey not in sd:
+                continue
+            _set(params, f"{dst}_{name}/conv0/kernel", convert_conv2d(sd[wkey]))
+            _bn(sd, f"{src}.task_head.{name}.0.bn", params, stats,
+                f"{dst}_{name}/bn0")
+            _set(params, f"{dst}_{name}/out/kernel",
+                 convert_conv2d(sd[f"{src}.task_head.{name}.1.weight"]))
+            _set(params, f"{dst}_{name}/out/bias",
+                 sd[f"{src}.task_head.{name}.1.bias"])
+        t += 1
     return params, stats
 
 

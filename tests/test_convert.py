@@ -6,7 +6,12 @@ from robustpointclouds_tpu.tools import convert_torch_checkpoint as cvt
 
 
 def fake_mmdet3d_second_state_dict():
-    """Shapes follow mmdet3d second_hv_secfpn kitti-3d-3class."""
+    """EXACT key/shape layout of the mmdet3d second_hv_secfpn kitti-3d-3class
+    zoo checkpoint (VERDICT r4 #6): spconv2 sparse kernels, BN with
+    num_batches_tracked, and — the subtle one — neck.deblocks.0.0 as a
+    ConvTranspose2d(128, 256, k=1, s=1) with weight (in, out, 1, 1): mmdet3d
+    SECONDFPN builds a transposed conv even at stride 1 under the default
+    use_conv_for_no_stride=False."""
     rng = np.random.RandomState(0)
     sd = {}
 
@@ -15,6 +20,7 @@ def fake_mmdet3d_second_state_dict():
         sd[f"{prefix}.bias"] = rng.randn(c).astype(np.float32)
         sd[f"{prefix}.running_mean"] = rng.randn(c).astype(np.float32)
         sd[f"{prefix}.running_var"] = np.abs(rng.randn(c)).astype(np.float32) + 0.5
+        sd[f"{prefix}.num_batches_tracked"] = np.asarray(1000, np.int64)
 
     def sp(prefix, cin, cout, k=(3, 3, 3)):
         # spconv2 layout (out, kz, ky, kx, in)
@@ -45,8 +51,9 @@ def fake_mmdet3d_second_state_dict():
             j += 1
             j += 1  # relu placeholder (no params)
 
-    # neck: deblock0 conv 1x1 128->256, deblock1 deconv 2x2 256->256
-    sd["neck.deblocks.0.0.weight"] = rng.randn(256, 128, 1, 1).astype(np.float32)
+    # neck: deblock0 ConvTranspose2d(128,256,k=1,s=1) — weight (IN, OUT, 1, 1)
+    # — deblock1 ConvTranspose2d(256,256,k=2,s=2)
+    sd["neck.deblocks.0.0.weight"] = rng.randn(128, 256, 1, 1).astype(np.float32)
     bn("neck.deblocks.0.1", 256)
     sd["neck.deblocks.1.0.weight"] = rng.randn(256, 256, 2, 2).astype(np.float32)
     bn("neck.deblocks.1.1", 256)
@@ -154,6 +161,23 @@ class TestFullConversion:
         )
         assert np.isfinite(np.asarray(outs.cls_scores)).all()
 
+    def test_stride1_deblock_transpose_orientation(self):
+        """The real zoo deblocks.0.0 is a 1x1 ConvTranspose2d (in, out, 1, 1):
+        math says conv_transpose(x, w)[...,o] = sum_i x[...,i] * w[i,o,0,0],
+        so the flax Conv kernel must be w transposed to (1,1,in,out) — the
+        pre-fix converter produced (1,1,out,in) and the weights were silently
+        dropped on shape mismatch (random-init deblock0 in every warm start)."""
+        sd = fake_mmdet3d_second_state_dict()
+        params_c, _ = cvt.convert_second_state_dict(sd)
+        k = params_c["neck"]["deblock0_conv"]["kernel"]
+        w = sd["neck.deblocks.0.0.weight"]
+        assert k.shape == (1, 1, 128, 256)
+        np.testing.assert_array_equal(k[0, 0], w[:, :, 0, 0])
+        # reference semantics: y = x @ w[:, :, 0, 0] for a 1x1 stride-1
+        # transposed conv; the flax conv with kernel k computes x @ k[0, 0]
+        x = np.random.RandomState(1).randn(3, 128).astype(np.float32)
+        np.testing.assert_allclose(x @ w[:, :, 0, 0], x @ k[0, 0])
+
     def test_torch_roundtrip(self, tmp_path):
         torch = pytest.importorskip("torch")
         sd = fake_mmdet3d_second_state_dict()
@@ -162,3 +186,110 @@ class TestFullConversion:
         loaded = cvt.load_torch_checkpoint(str(path))
         assert set(loaded) == set(sd)
         np.testing.assert_allclose(loaded["bbox_head.conv_cls.bias"], sd["bbox_head.conv_cls.bias"])
+
+
+def fake_mmdet3d_centerpoint_head_state_dict(n_tasks=6):
+    """EXACT key/shape layout of the zoo
+    centerpoint_01voxel_second_secfpn_dcn_circlenms pts_bbox_head: shared
+    ConvModule (512->64), then per task a DCNSeparateHead — DeformConv2dPack
+    feature_adapt_{cls,reg} (grouped weight [64, 16, 3, 3] for groups=4 +
+    zero-init conv_offset [18, 64, 3, 3]), cls_head (ConvModule + final
+    heatmap conv), task_head.{reg,height,dim,rot,vel} SeparateHead stacks."""
+    from robustpointclouds_tpu.nn.center_head import NUSCENES_TASKS
+
+    rng = np.random.RandomState(7)
+    sd = {}
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = rng.randn(c).astype(np.float32)
+        sd[f"{prefix}.bias"] = rng.randn(c).astype(np.float32)
+        sd[f"{prefix}.running_mean"] = rng.randn(c).astype(np.float32) * 0.01
+        sd[f"{prefix}.running_var"] = np.abs(rng.randn(c)).astype(np.float32) * 0.01 + 1.0
+        sd[f"{prefix}.num_batches_tracked"] = np.asarray(1000, np.int64)
+
+    sd["pts_bbox_head.shared_conv.conv.weight"] = rng.randn(64, 512, 3, 3).astype(np.float32) * 0.02
+    bn("pts_bbox_head.shared_conv.bn", 64)
+    for t in range(n_tasks):
+        ncls = len(NUSCENES_TASKS[t])
+        base = f"pts_bbox_head.task_heads.{t}"
+        for branch in ("cls", "reg"):
+            # DeformConv2dPack: grouped weight + offset conv (zero-init in
+            # fresh models, non-zero after training — use non-zero here)
+            sd[f"{base}.feature_adapt_{branch}.weight"] = (
+                rng.randn(64, 16, 3, 3).astype(np.float32) * 0.05
+            )
+            sd[f"{base}.feature_adapt_{branch}.conv_offset.weight"] = (
+                rng.randn(18, 64, 3, 3).astype(np.float32) * 0.01
+            )
+            sd[f"{base}.feature_adapt_{branch}.conv_offset.bias"] = (
+                rng.randn(18).astype(np.float32) * 0.01
+            )
+        sd[f"{base}.cls_head.0.conv.weight"] = rng.randn(64, 64, 3, 3).astype(np.float32) * 0.05
+        bn(f"{base}.cls_head.0.bn", 64)
+        sd[f"{base}.cls_head.1.weight"] = rng.randn(ncls, 64, 3, 3).astype(np.float32) * 0.05
+        sd[f"{base}.cls_head.1.bias"] = np.full(ncls, -2.19, np.float32)
+        for name, dim in (("reg", 2), ("height", 1), ("dim", 3), ("rot", 2), ("vel", 2)):
+            sd[f"{base}.task_head.{name}.0.conv.weight"] = (
+                rng.randn(64, 64, 3, 3).astype(np.float32) * 0.05
+            )
+            bn(f"{base}.task_head.{name}.0.bn", 64)
+            sd[f"{base}.task_head.{name}.1.weight"] = (
+                rng.randn(dim, 64, 3, 3).astype(np.float32) * 0.05
+            )
+            sd[f"{base}.task_head.{name}.1.bias"] = rng.randn(dim).astype(np.float32) * 0.01
+    return sd
+
+
+class TestCenterPointHeadConversion:
+    def test_dcn_head_roundtrip_forward(self):
+        """init -> convert -> merge (every tensor lands) -> forward: the zoo
+        DCN CenterHead layout loads into CenterHead(use_dcn=True) with no
+        silent skips (VERDICT r4 #6 done criterion)."""
+        import jax
+        import jax.numpy as jnp
+
+        from robustpointclouds_tpu.nn.center_head import CenterHead, NUSCENES_TASKS
+
+        sd = fake_mmdet3d_centerpoint_head_state_dict()
+        params_c, stats_c = cvt.convert_centerpoint_state_dict(sd)
+        assert set(params_c) == {"pts_bbox_head"}
+
+        head = CenterHead(tasks=NUSCENES_TASKS, use_dcn=True)
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 512), jnp.float32)
+        variables = head.init(jax.random.PRNGKey(0), x, False)
+        params_np = jax.tree_util.tree_map(np.asarray, dict(variables["params"]))
+        stats_np = jax.tree_util.tree_map(np.asarray, dict(variables["batch_stats"]))
+
+        new_params, loaded, skipped = cvt.merge_into_params(
+            params_np, params_c["pts_bbox_head"],
+            strict_prefixes=("shared_conv", "task"),
+        )
+        new_stats, loaded_s, skipped_s = cvt.merge_into_params(
+            stats_np, stats_c["pts_bbox_head"]
+        )
+        assert not skipped, skipped
+        # the only unconverted stats are the _DCNAdapt BNs (identity at init;
+        # mmdet3d's feature_adapt has no BN) — everything else lands
+        assert len(loaded) > 100
+        assert all("adapt" in s for s in skipped_s), skipped_s
+
+        outs = head.apply(
+            {"params": jax.tree_util.tree_map(jnp.asarray, new_params),
+             "batch_stats": jax.tree_util.tree_map(jnp.asarray, new_stats)},
+            x, False,
+        )
+        assert len(outs) == 6
+        for t, task in enumerate(outs):
+            assert task["heatmap"].shape[-1] == len(NUSCENES_TASKS[t])
+            for k in ("reg", "height", "dim", "rot", "vel"):
+                assert np.isfinite(np.asarray(task[k])).all()
+
+    def test_second_backbone_neck_ride_pts_prefix(self):
+        """pts_backbone/pts_neck keys reuse the SECOND converter."""
+        sd = {
+            f"pts_{k}": v for k, v in fake_mmdet3d_second_state_dict().items()
+            if k.startswith(("backbone.", "neck."))
+        }
+        params_c, stats_c = cvt.convert_centerpoint_state_dict(sd)
+        assert "pts_backbone" in params_c and "pts_neck" in params_c
+        assert params_c["pts_neck"]["deblock0_conv"]["kernel"].shape == (1, 1, 128, 256)
