@@ -181,8 +181,18 @@ def run_training(
     os.makedirs(work_dir, exist_ok=True)
     logger = MetricsLogger(work_dir)
     ladder = NaNLadder()
+
+    # multi-host (multi-process) run: every process executes this loop with
+    # the same seed; batches are sliced to this host's rows and assembled
+    # into global arrays (parallel/multihost.py; reference slurm/mpi/pytorch
+    # launchers, train.py:56-64)
+    n_proc = jax.process_count()
+    multihost = mesh is not None and n_proc > 1
+    is_primary = jax.process_index() == 0
+
     ckpt = CheckpointManager(work_dir, max_to_keep=max_keep,
-                             save_interval_epochs=checkpoint_interval)
+                             save_interval_epochs=checkpoint_interval,
+                             single_process_io=multihost)
 
     shard = None
     if mesh is not None:
@@ -193,8 +203,18 @@ def run_training(
             stack_plans,
         )
 
-        def shard(batch):
-            return shard_batch(batch, mesh)
+        if multihost:
+            from ..parallel.multihost import globalize, host_rows
+
+            def shard(batch):
+                rows = host_rows(batch.points.shape[0])
+                local = jax.tree_util.tree_map(
+                    lambda x: np.asarray(x)[rows], batch
+                )
+                return globalize(local, mesh)
+        else:
+            def shard(batch):
+                return shard_batch(batch, mesh)
 
     # DDP over the mesh (reference --launcher pytorch, train.py:57-60): each
     # device gets its own host-built sub-plan and the shard_map'd step pmeans
@@ -233,12 +253,28 @@ def run_training(
                             " mesh — pick batch_size = k * n_devices"
                         )
                     k = b // n_dev
-                    plan = stack_plans([
-                        plan_builder(*(a[i * k:(i + 1) * k] for a in args))
-                        for i in range(n_dev)
-                    ])
-                    plan_ms["last"] = (time.time() - t0) * 1000
-                    plan = shard_stacked(plan, mesh)
+                    if multihost:
+                        # build only this host's devices' sub-plans, then
+                        # assemble the global stacked plan across processes
+                        from ..parallel.multihost import (
+                            globalize_stacked_plans,
+                        )
+
+                        my = jax.process_index()
+                        local_plans = [
+                            plan_builder(*(a[i * k:(i + 1) * k] for a in args))
+                            for i, d in enumerate(mesh.devices.flat)
+                            if d.process_index == my
+                        ]
+                        plan_ms["last"] = (time.time() - t0) * 1000
+                        plan = globalize_stacked_plans(local_plans, mesh)
+                    else:
+                        plan = stack_plans([
+                            plan_builder(*(a[i * k:(i + 1) * k] for a in args))
+                            for i in range(n_dev)
+                        ])
+                        plan_ms["last"] = (time.time() - t0) * 1000
+                        plan = shard_stacked(plan, mesh)
                 else:
                     plan = plan_builder(*args)
                     plan_ms["last"] = (time.time() - t0) * 1000
@@ -256,7 +292,14 @@ def run_training(
 
         state = load_pretrained(state, load_from)
     if mesh is not None:
-        state = replicate(state, mesh)
+        if multihost:
+            from ..parallel.multihost import replicate_multihost
+
+            state = replicate_multihost(
+                jax.tree_util.tree_map(np.asarray, state), mesh
+            )
+        else:
+            state = replicate(state, mesh)
     start_epoch = 0
     if resume:
         latest = ckpt.latest_epoch()
@@ -272,6 +315,30 @@ def run_training(
         trainer.compile_sharded(mesh, donate=False)
     else:
         trainer.compile(donate=False)
+
+    if multihost:
+        # Gloo (the CPU cross-process collective backend) gives rendezvous a
+        # fixed ~30 s timeout, but each process compiles the step
+        # independently and the skew on a shared host exceeds that: the first
+        # process to finish would block in rendezvous and die while its peer
+        # still compiles. AOT-compile here (fills the persistent compile
+        # cache; no collectives run during compilation), then barrier on the
+        # coordination service — which has a configurable timeout — so every
+        # process enters the first collective together. On TPU pods the same
+        # ordering is harmless.
+        warm_b, warm_p = next(iter(_with_plans(epoch_loader(start_epoch))))
+        if shard is not None:
+            warm_b = shard(warm_b)
+        trainer._train_step.lower(
+            state, warm_b, jnp.float32(start_epoch), warm_p
+        ).compile()
+        from jax._src import distributed as _jax_dist
+
+        _jax_dist.global_state.client.wait_at_barrier(
+            "rpc_train_step_compiled", timeout_in_ms=3_600_000
+        )
+        print(f"[multihost] process {jax.process_index()}: step compiled, "
+              "barrier passed")
 
     history = {}
     t_start = time.time()
@@ -315,22 +382,54 @@ def run_training(
                     break
         dt = time.time() - epoch_t0
         print(f"[epoch {epoch}] done in {dt:.1f}s ({n_frames / max(dt, 1e-9):.2f} frames/s)")
-        ckpt.maybe_save(epoch, state)
+        # multihost: state is replicated, so process 0 holds the full copy —
+        # it alone writes checkpoints/metrics (reference: rank-0 CheckpointHook)
+        ckpt_state = (
+            jax.tree_util.tree_map(np.asarray, state) if multihost else state
+        )
+        if is_primary:
+            ckpt.maybe_save(epoch, ckpt_state)
         if val_loader is not None and (epoch + 1) % val_interval == 0:
-            metrics = run_evaluation(trainer, state, val_loader(), attack=False)
-            history[f"val_epoch{epoch}"] = metrics
-            print(f"[val epoch {epoch}] {metrics}")
-            # keep the best-mAP checkpoint (reference CheckpointHook
-            # save_best='...mAP', adversarial-centerpoint_voxel-nuscenes.py:98)
-            key = "mAP_3d_moderate" if "mAP_3d_moderate" in metrics else "mAP"
-            if key in metrics and ckpt.save_best(metrics[key], state, epoch):
-                print(f"[ckpt] new best {key}={metrics[key]:.2f} (epoch {epoch})")
+            if multihost:
+                # validation is a single-process forward; the skeleton runs
+                # it on process 0 with the host-materialized state while the
+                # other processes proceed to the next epoch's collectives
+                if is_primary:
+                    print("[val] multihost: validation runs on process 0 only")
+                    metrics = run_evaluation(
+                        trainer, ckpt_state, val_loader(), attack=False
+                    )
+                else:
+                    metrics = None
+            else:
+                metrics = run_evaluation(trainer, state, val_loader(), attack=False)
+            if metrics is not None:
+                history[f"val_epoch{epoch}"] = metrics
+                print(f"[val epoch {epoch}] {metrics}")
+                # keep the best-mAP checkpoint (reference CheckpointHook
+                # save_best='...mAP', adversarial-centerpoint_voxel-nuscenes.py:98)
+                key = "mAP_3d_moderate" if "mAP_3d_moderate" in metrics else "mAP"
+                if key in metrics and ckpt.save_best(metrics[key], ckpt_state, epoch):
+                    print(f"[ckpt] new best {key}={metrics[key]:.2f} (epoch {epoch})")
         if ladder.should_stop:
             break
 
-    ckpt.save(max_epochs - 1, state)
+    state_final = (
+        jax.tree_util.tree_map(np.asarray, state) if multihost else state
+    )
+    if is_primary:
+        ckpt.save(max_epochs - 1, state_final)
     logger.save_l2_norms()
     logger.save_history()
+    if multihost:
+        # exit together: process 0 writes checkpoints/metrics after the last
+        # step, and a process that returns early trips the coordination
+        # service's (short) shutdown barrier for everyone
+        from jax._src import distributed as _jax_dist
+
+        _jax_dist.global_state.client.wait_at_barrier(
+            "rpc_train_done", timeout_in_ms=3_600_000
+        )
     history["wall_time_s"] = time.time() - t_start
     history["final_epoch"] = epoch
     return {"state": state, "history": history, "work_dir": work_dir}

@@ -25,6 +25,19 @@ def parse_args(argv=None):
                    help="warm start from a zoo .pth or converted orbax dir")
     p.add_argument("--devices", type=int, default=None,
                    help="data-parallel device count (default: all attached)")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-process run (one process per host): calls "
+                        "jax.distributed.initialize, builds the mesh over ALL "
+                        "global devices, and feeds each host its own batch "
+                        "rows (reference --launcher slurm/mpi/pytorch, "
+                        "train.py:56-64)")
+    p.add_argument("--coordinator", default=None,
+                   help="multihost coordinator address host:port (or "
+                        "JAX_COORDINATOR_ADDRESS; auto-detected on TPU pods)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multihost process count (or JAX_NUM_PROCESSES)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's rank (or JAX_PROCESS_ID)")
     p.add_argument("--amp", action="store_true",
                    help="bfloat16 matmul precision (reference --amp equivalent)")
     p.add_argument("--auto-scale-lr", action="store_true",
@@ -35,12 +48,19 @@ def parse_args(argv=None):
     p.add_argument("--validate", action="store_true")
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true",
+                   help="debug: force the CPU backend (the axon TPU plugin "
+                        "ignores JAX_PLATFORMS, so this must be a flag)")
     p.add_argument("--cfg-options", nargs="*", default=[])
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.amp:
         import jax
 
@@ -61,7 +81,25 @@ def main(argv=None):
     load_from = args.load_from or cfg.get("load_from")
 
     mesh = None
-    if args.devices and args.devices > 1:
+    if args.multihost:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+        from ..parallel.multihost import init_multihost
+
+        pid, nproc = init_multihost(
+            args.coordinator, args.num_processes, args.process_id
+        )
+        devs = jax.devices()  # global across all processes
+        if batch_size % len(devs) != 0:
+            raise SystemExit(
+                f"batch_size {batch_size} not divisible by the {len(devs)} "
+                "global devices"
+            )
+        mesh = make_mesh(devs)
+        print(f"[multihost] process {pid}/{nproc}, mesh over {len(devs)} "
+              f"global devices ({jax.local_device_count()} local)")
+    elif args.devices and args.devices > 1:
         import jax
 
         from ..parallel.mesh import make_mesh

@@ -17,14 +17,32 @@ from .loop import TrainState
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 10, save_interval_epochs: int = 5):
+    def __init__(self, directory: str, max_to_keep: int = 10,
+                 save_interval_epochs: int = 5,
+                 single_process_io: bool = False):
+        """`single_process_io`: in a multi-host run, saves are host-numpy
+        trees written by process 0 alone (the training loop gates the calls);
+        restrict orbax's barrier group to process 0 so the save does not
+        block on peers that never call it (rank-0 CheckpointHook semantics).
+        """
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        opts = dict(
+            max_to_keep=max_to_keep, create=True,
+            enable_async_checkpointing=False,
+        )
+        if single_process_io:
+            import jax
+
+            opts["multiprocessing_options"] = ocp.options.MultiprocessingOptions(
+                primary_host=jax.process_index(),
+                active_processes={jax.process_index()},
+            )
+            # orbax refuses create=True with active_processes set; the
+            # makedirs above already created the root
+            opts["create"] = False
         self._mgr = ocp.CheckpointManager(
-            self.directory,
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=False
-            ),
+            self.directory, options=ocp.CheckpointManagerOptions(**opts)
         )
         self.save_interval_epochs = save_interval_epochs
 

@@ -120,7 +120,10 @@ class CpuBoundBuilder:
 
     def __init__(self):
         try:
-            self._cpu = jax.devices("cpu")[0]
+            # local_devices, not devices: in a multi-process (multi-host) run
+            # global CPU device 0 belongs to process 0 — pinning to it from
+            # another process commits plan arrays to a non-addressable device
+            self._cpu = jax.local_devices(backend="cpu")[0]
         except RuntimeError:
             self._cpu = None  # no CPU backend registered: plans build on the
             # default device (functional, but the host-overlap claim is off —
