@@ -151,8 +151,15 @@ def run(
         )
 
     shard = None
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    use_ddp = n_dev > 1  # shard_map DDP: per-device sub-plans, pmean'd grads
     if mesh is not None:
-        from ..parallel.mesh import replicate, shard_batch
+        from ..parallel.mesh import (
+            replicate,
+            shard_batch,
+            shard_stacked,
+            stack_plans,
+        )
 
         def shard(x):
             return shard_batch(x, mesh)
@@ -185,7 +192,10 @@ def run(
         if latest is not None:
             state = ckpt.restore(state)
             print(f"[resume] epoch {latest}")
-    trainer.compile(donate=False)
+    if use_ddp:
+        trainer.compile_sharded(mesh, donate=False)
+    else:
+        trainer.compile(donate=False)
 
     history = {}
     n_epochs = max_epochs if max_steps is None else 1
@@ -195,17 +205,34 @@ def run(
 
     def _with_plans(it):
         for batch, vel in it:
-            plan = plan_builder(
+            args = (
                 np.asarray(batch.points), np.asarray(batch.points_mask),
                 np.asarray(batch.gt_boxes), np.asarray(batch.gt_labels),
                 np.asarray(batch.gt_mask), np.asarray(vel),
             )
-            # place in the prefetch thread so the transfer overlaps: mesh ->
-            # replicated (matches the params layout), else device 0
-            if mesh is not None:
-                plan = replicate(plan, mesh)
+            if use_ddp:
+                # one sub-plan per device (reference DDP semantics — see
+                # cli/common.run_training); the merged-batch index arrays
+                # cannot be GSPMD-sharded, replicating them pins the whole
+                # encoder to replicated compute
+                b = args[0].shape[0]
+                if b % n_dev:
+                    raise ValueError(
+                        f"batch size {b} not divisible by the {n_dev}-device mesh"
+                    )
+                k = b // n_dev
+                plan = shard_stacked(stack_plans([
+                    plan_builder(*(a[i * k:(i + 1) * k] for a in args))
+                    for i in range(n_dev)
+                ]), mesh)
             else:
-                plan = jax.device_put(plan, jax.devices()[0])
+                plan = plan_builder(*args)
+                # place in the prefetch thread so the transfer overlaps:
+                # mesh -> replicated (matches the params layout), else dev 0
+                if mesh is not None:
+                    plan = replicate(plan, mesh)
+                else:
+                    plan = jax.device_put(plan, jax.devices()[0])
             yield batch, vel, plan
 
     from .common import prefetch_iterator

@@ -87,6 +87,12 @@ def build_centerpoint_config(cfg: Config):
         adversarial_loss_weight=float(m.get("adversarial_loss_weight", base.adversarial_loss_weight)),
         regularization_weight=float(m.get("regularization_weight", base.regularization_weight)),
         adversary_start_epoch=int(m.get("adversary_start_epoch", base.adversary_start_epoch)),
+        encoder_channels=(
+            _as_tuple(m["encoder_channels"], depth=2)
+            if m.get("encoder_channels") else base.encoder_channels
+        ),
+        residual_encoder=bool(m.get("residual_encoder", base.residual_encoder)),
+        use_dcn_head=bool(m.get("use_dcn_head", base.use_dcn_head)),
     )
 
 

@@ -45,6 +45,15 @@ class CenterPointConfig(NamedTuple):
         max_voxels=60000,
     )
     num_point_features: int = 5  # x, y, z, intensity, timestamp
+    # zoo-exact middle encoder: the reference base config's SparseEncoder is
+    # block_type='basicblock' with these channels (residual SparseBasicBlock
+    # stages, downsample last-in-stage) — centerpoint_voxel01_second_secfpn
+    # head-dcn-circlenms, warm-started via load_from
+    # (adversarial-centerpoint_voxel-nuscenes.py:88)
+    encoder_channels: Tuple[Tuple[int, ...], ...] = (
+        (16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128)
+    )
+    residual_encoder: bool = True
     tasks: Tuple[Tuple[str, ...], ...] = NUSCENES_TASKS
     head: CenterHeadConfig = CenterHeadConfig(tasks=NUSCENES_TASKS)
     adversary: Optional[Dict[str, Any]] = {
@@ -82,6 +91,8 @@ class AdversarialCenterPoint(nn.Module):
         dt = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
         self.pts_middle_encoder = SparseEncoder(
             sparse_shape=vz.sparse_shape, in_channels=self.cfg.num_point_features,
+            encoder_channels=self.cfg.encoder_channels,
+            residual=self.cfg.residual_encoder,
             dtype=dt,
         )
         self.pts_backbone = SECONDBackbone(dtype=dt)
@@ -179,7 +190,8 @@ def build_centerpoint_plan(points, points_mask, cfg: CenterPointConfig,
     from .voxelnet import sparse_plan_core
 
     f = cfg.num_point_features
-    plan = sparse_plan_core(points, points_mask, cfg.voxelizer, f, f)
+    plan = sparse_plan_core(points, points_mask, cfg.voxelizer, f, f,
+                            encoder_channels=cfg.encoder_channels)
     if gt_boxes is not None:
         from .center_detection import centerpoint_targets_single
 

@@ -218,10 +218,15 @@ class AdversarialVoxelNet(nn.Module):
 
 
 def sparse_plan_core(points, points_mask, vz: VoxelizerConfig,
-                     num_features: int, encoder_in_channels: int):
+                     num_features: int, encoder_in_channels: int,
+                     encoder_channels=None):
     """Shared plan core: voxelize + batch merge + encoder index plan, as a
     dict of arrays. Model-family wrappers (build_plan here, CenterPoint's
-    build_centerpoint_plan) add family-specific groups on top."""
+    build_centerpoint_plan) add family-specific groups on top.
+    `encoder_channels`: the model's stage plan when it differs from the
+    SECOND default (CenterPoint's basicblock channels) — the rel/down
+    sequence is layout-independent, only the xwin-vs-dense width choices
+    read the channel numbers."""
     res = voxelize_batch(points[..., :num_features], points_mask, vz)
     grid, order = sparse.with_batch_axis(res.coords, res.voxel_mask, vz.sparse_shape)
     b, v = res.voxels.shape[:2]
@@ -230,7 +235,8 @@ def sparse_plan_core(points, points_mask, vz: VoxelizerConfig,
     enc_defaults = _SE(sparse_shape=vz.sparse_shape, in_channels=encoder_in_channels)
     enc = encoder_plan(
         grid, b * v, enc_defaults.in_channels, enc_defaults.base_channels,
-        enc_defaults.encoder_channels, enc_defaults.stage_cap_factors,
+        encoder_channels or enc_defaults.encoder_channels,
+        enc_defaults.stage_cap_factors,
         enc_defaults.out_cap_factor,
     )
     return {

@@ -269,6 +269,63 @@ class SparseConvBlock(nn.Module):
         return jnp.where(out_mask[:, None], out, jnp.zeros((), self.dtype))
 
 
+class SparseSubmConv(nn.Module):
+    """Bare submanifold sparse conv (gather-matmul), no norm/activation.
+
+    The conv piece of :class:`SparseConvBlock`, factored out so residual
+    blocks can place BN/ReLU around the residual add themselves."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, idx=None, xwin=None, ids=None):
+        ktaps = xwin.num_taps if xwin is not None else idx.shape[1]
+        cin = feats.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (ktaps * cin, self.out_channels),
+        )
+        feats = feats.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        if xwin is not None:
+            return subm_conv_ops.subm_conv_xwin(
+                xwin.kx, feats, kernel, ids, xwin.rows, xwin.xvalid
+            )
+        return subm_conv_ops.subm_conv(feats, kernel, idx)
+
+
+class SparseBasicBlock(nn.Module):
+    """Residual sparse block: conv1-bn1-relu-conv2-bn2 (+x) relu.
+
+    spconv/mmdet3d `SparseBasicBlock` — the stage unit of the CenterPoint
+    middle encoder (`block_type='basicblock'`, the reference's base config
+    centerpoint_voxel01_second_secfpn_head-dcn-circlenms). Submanifold convs
+    preserve the active-site set, so the residual add is a plain row-wise
+    add on the same grid. Param names (conv1/bn1/conv2/bn2) line up with
+    tools/convert_torch_checkpoint.convert_centerpoint_state_dict."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, mask, train: bool, idx=None, xwin=None, ids=None):
+        rel = dict(idx=idx, xwin=xwin, ids=ids)
+        identity = feats.astype(self.dtype)
+        x = SparseSubmConv(self.channels, dtype=self.dtype, name="conv1")(
+            feats, **rel
+        )
+        x = MaskedBatchNorm(dtype=self.dtype, name="bn1")(x, mask, train)
+        x = nn.relu(x)
+        x = SparseSubmConv(self.channels, dtype=self.dtype, name="conv2")(
+            x, **rel
+        )
+        x = MaskedBatchNorm(dtype=self.dtype, name="bn2")(x, mask, train)
+        x = nn.relu(x + identity)
+        return jnp.where(mask[:, None], x, jnp.zeros((), self.dtype))
+
+
 class SparseEncoder(nn.Module):
     """Sparse middle encoder: [N, Cin] voxel features -> dense BEV map."""
 
@@ -285,6 +342,12 @@ class SparseEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # None = auto: Pallas merge-path kernel on TPU, XLA gathers elsewhere
     use_mp_kernel: bool = None
+    # mmdet3d block_type='basicblock' (the CenterPoint base config): each
+    # stage is residual SparseBasicBlocks with the strided downsample as the
+    # stage's LAST element (vs first for the SECOND conv_module layout); the
+    # final stage has no downsample. Consumes the same encoder_plan — the
+    # rel/down sequence over grids is identical, only the traversal differs.
+    residual: bool = False
 
     @nn.compact
     def __call__(self, voxel_features, grid: sparse.SparseGrid, train: bool,
@@ -308,6 +371,7 @@ class SparseEncoder(nn.Module):
             use_mp = _mp_kernel_available()
         if use_mp:
             assert plan is None, "precomputed plans do not carry mp packs"
+            assert not self.residual, "mp kernel path has no residual variant"
             return self._forward_mp(voxel_features, grid, train)
         if plan is None:
             plan = encoder_plan(
@@ -331,32 +395,51 @@ class SparseEncoder(nn.Module):
         x = SparseConvBlock(self.base_channels, dtype=self.dtype, name="conv_input")(
             x, g.mask, train, **rel_kwargs(rel, g)
         )
-        for i, stage in enumerate(self.encoder_channels):
-            for j, ch in enumerate(stage):
-                if i != 0 and j == 0:
-                    k4, s4, p4 = _down_geom(len(self.encoder_channels), i)
-                    st = plan[f"down{i}"]
-                    new_g = sparse.SparseGrid(
-                        st["ids"], st["coords"], st["mask"],
-                        _down_shape(g.spatial_shape, k4, s4, p4),
-                    )
-                    if "rows" in st:
-                        xw = sparse.XWindowInfo(
-                            st["rows"], st["xvalid"], k4[-1], g.flat_ids.shape[0]
-                        )
-                        down_kw = dict(xwin=xw, ids=g.flat_ids)
+
+        def apply_down(x, g, ch, down_i, name):
+            k4, s4, p4 = _down_geom(len(self.encoder_channels), down_i)
+            st = plan[f"down{down_i}"]
+            new_g = sparse.SparseGrid(
+                st["ids"], st["coords"], st["mask"],
+                _down_shape(g.spatial_shape, k4, s4, p4),
+            )
+            if "rows" in st:
+                xw = sparse.XWindowInfo(
+                    st["rows"], st["xvalid"], k4[-1], g.flat_ids.shape[0]
+                )
+                down_kw = dict(xwin=xw, ids=g.flat_ids)
+            else:
+                down_kw = dict(idx=st["idx"])
+            x = SparseConvBlock(
+                ch, symmetric_taps=False, dtype=self.dtype, name=name,
+            )(x, new_g.mask, train, inv_idx=st["inv"], **down_kw)
+            return x, new_g
+
+        if self.residual:
+            # basicblock layout: res blocks then the down (last element),
+            # no down on the final stage (z-pad rule: the LAST of the 3 downs
+            # is stage index len-1 in _down_geom terms — same geometry as the
+            # conv_module layout, so plan["down{k}"] lines up 1:1)
+            n_stages = len(self.encoder_channels)
+            for i, stage in enumerate(self.encoder_channels):
+                n_res = len(stage) if i == n_stages - 1 else len(stage) - 1
+                for j in range(n_res):
+                    x = SparseBasicBlock(
+                        stage[j], dtype=self.dtype, name=f"stage{i}_res{j}"
+                    )(x, g.mask, train, **rel_kwargs(rel, g))
+                if i != n_stages - 1:
+                    x, g = apply_down(x, g, stage[-1], i + 1, f"stage{i}_down")
+                    rel = plan[f"rel{i + 1}"]
+        else:
+            for i, stage in enumerate(self.encoder_channels):
+                for j, ch in enumerate(stage):
+                    if i != 0 and j == 0:
+                        x, g = apply_down(x, g, ch, i, f"stage{i}_down")
+                        rel = plan[f"rel{i}"]
                     else:
-                        down_kw = dict(idx=st["idx"])
-                    x = SparseConvBlock(
-                        ch, symmetric_taps=False, dtype=self.dtype,
-                        name=f"stage{i}_down",
-                    )(x, new_g.mask, train, inv_idx=st["inv"], **down_kw)
-                    g = new_g
-                    rel = plan[f"rel{i}"]
-                else:
-                    x = SparseConvBlock(ch, dtype=self.dtype, name=f"stage{i}_subm{j}")(
-                        x, g.mask, train, **rel_kwargs(rel, g)
-                    )
+                        x = SparseConvBlock(ch, dtype=self.dtype, name=f"stage{i}_subm{j}")(
+                            x, g.mask, train, **rel_kwargs(rel, g)
+                        )
 
         k4, s4, p4 = _OUT_GEOM
         st = plan["out"]

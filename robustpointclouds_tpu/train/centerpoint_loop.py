@@ -149,12 +149,16 @@ class CenterPointTrainer:
         }
         return total, (mutated.get("batch_stats", batch_stats), logs, is_nan)
 
-    def _step_impl(self, state: TrainState, batch: PointCloudBatch, gt_vel, epoch,
-                   plan=None):
-        grads, (new_stats, logs, is_nan) = jax.grad(self._loss_fn, has_aux=True)(
+    def _grads(self, state: TrainState, batch: PointCloudBatch, gt_vel, epoch,
+               plan=None):
+        """Gradient half (split from :meth:`_apply` so the shard_map'd DDP
+        step can pmean between the two — same structure as train/loop.py)."""
+        return jax.grad(self._loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, gt_vel, epoch,
             state.adversary_enabled, plan,
         )
+
+    def _apply(self, state: TrainState, grads, new_stats, logs, is_nan):
         adv_mask = split_adversary_mask(state.params)
         det_up, new_det = self.det_tx.update(grads, state.opt_state_det, state.params)
         adv_up, new_adv = self.adv_tx.update(grads, state.opt_state_adv, state.params)
@@ -180,9 +184,48 @@ class CenterPointTrainer:
             logs,
         )
 
+    def _step_impl(self, state: TrainState, batch: PointCloudBatch, gt_vel,
+                   epoch, plan=None):
+        grads, aux = self._grads(state, batch, gt_vel, epoch, plan)
+        return self._apply(state, grads, *aux)
+
+    def _sharded_step_impl(self, state: TrainState, batch: PointCloudBatch,
+                           gt_vel, epoch, plan=None):
+        """Per-device DDP body (inside shard_map): local sub-batch + this
+        device's own sub-plan, then reference-DDP reductions (mean grads/BN
+        stats/logs, any-device NaN is a global NaN step)."""
+        local_plan = None if plan is None else jax.tree_util.tree_map(
+            lambda x: x[0], plan
+        )
+        grads, (new_stats, logs, is_nan) = self._grads(
+            state, batch, gt_vel, epoch, local_plan
+        )
+        grads = jax.lax.pmean(grads, "data")
+        new_stats = jax.lax.pmean(new_stats, "data")
+        logs = jax.lax.pmean(logs, "data")
+        is_nan = jax.lax.psum(is_nan.astype(jnp.int32), "data") > 0
+        return self._apply(state, grads, new_stats, logs, is_nan)
+
     def compile(self, donate: bool = True):
         kwargs = dict(donate_argnums=(0,)) if donate else {}
         self._train_step = jax.jit(self._step_impl, **kwargs)
+        return self
+
+    def compile_sharded(self, mesh, donate: bool = True, axis_name: str = "data"):
+        """True data-parallel CenterPoint step (see train/loop.py
+        compile_sharded for the rationale: replicated merged-batch plans pin
+        GSPMD to replicated compute; per-device sub-plans partition it)."""
+        from jax.sharding import PartitionSpec as P
+
+        step = jax.shard_map(
+            self._sharded_step_impl,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name), P(), P(axis_name)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        kwargs = dict(donate_argnums=(0,)) if donate else {}
+        self._train_step = jax.jit(step, **kwargs)
         return self
 
     def train_step(self, state, batch, gt_vel, epoch: int, plan=None):

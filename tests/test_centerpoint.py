@@ -249,3 +249,57 @@ class TestCenterPointPlan:
         eq = jax.tree_util.tree_map(lambda x, y: bool(jnp.all(x == y)),
                                     sa.params, sb.params)
         assert all(jax.tree_util.tree_leaves(eq))
+
+
+class TestCenterPointDDP:
+    def test_ddp_sharded_plan_step_partitions_flops(self):
+        """CenterPoint DDP (compile_sharded + per-device sub-plans): finite
+        loss on an 8-device mesh and per-device compiled FLOPs ~1/8 of the
+        single-device module (the round-3 replicated-plan defect, fixed for
+        every trainer — see test_parallel.py for the flagship)."""
+        from robustpointclouds_tpu.parallel import (
+            make_mesh, replicate, shard_batch, shard_stacked, stack_plans,
+        )
+        from robustpointclouds_tpu.train.centerpoint_loop import CenterPointTrainer
+
+        n = 8
+        tr1 = CenterPointTrainer(model_cfg=tiny_cp_cfg())
+        batch, vel = tiny_cp_batch(np.random.RandomState(3), B=n)
+        state = tr1.init_state(jax.random.PRNGKey(0), batch)
+        pb = tr1.make_plan_builder()
+        args = (
+            np.asarray(batch.points), np.asarray(batch.points_mask),
+            np.asarray(batch.gt_boxes), np.asarray(batch.gt_labels),
+            np.asarray(batch.gt_mask), np.asarray(vel),
+        )
+        plan_g = pb(*args)
+        tr1.compile(donate=False)
+        cost1 = tr1._train_step.lower(
+            state, batch, vel, jnp.float32(5),
+            jax.device_put(plan_g, jax.devices()[0]),
+        ).compile().cost_analysis()
+        cost1 = cost1[0] if isinstance(cost1, (list, tuple)) else cost1
+        flops_single = float(cost1.get("flops", 0.0))
+
+        tr2 = CenterPointTrainer(model_cfg=tiny_cp_cfg())
+        mesh = make_mesh(jax.devices()[:n])
+        plans = [pb(*(a[i:i + 1] for a in args)) for i in range(n)]
+        with mesh:
+            state_r = replicate(state, mesh)
+            batch_s = shard_batch(batch, mesh)
+            vel_s = shard_batch(vel, mesh)
+            plan_s = shard_stacked(stack_plans(plans), mesh)
+            tr2.compile_sharded(mesh, donate=False)
+            s2, logs2 = tr2.train_step(state_r, batch_s, vel_s, 5, plan=plan_s)
+            cost = tr2._train_step.lower(
+                state_r, batch_s, vel_s, jnp.float32(5), plan_s
+            ).compile().cost_analysis()
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops_dev = float(cost.get("flops", 0.0))
+
+        assert np.isfinite(float(logs2["loss"]))
+        assert int(s2.step) == 1
+        assert flops_single > 0 and flops_dev > 0
+        assert flops_dev / flops_single < 2.0 / n, (
+            f"per-device FLOPs not partitioned: {flops_dev / flops_single:.3f}"
+        )

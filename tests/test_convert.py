@@ -293,3 +293,141 @@ class TestCenterPointHeadConversion:
         params_c, stats_c = cvt.convert_centerpoint_state_dict(sd)
         assert "pts_backbone" in params_c and "pts_neck" in params_c
         assert params_c["pts_neck"]["deblock0_conv"]["kernel"].shape == (1, 1, 128, 256)
+
+
+def fake_mmdet3d_centerpoint_encoder_state_dict():
+    """EXACT pts_middle_encoder layout of the zoo CenterPoint: the
+    block_type='basicblock' SparseEncoder — residual SparseBasicBlocks
+    (conv1/bn1/conv2/bn2) with the strided downsample as each stage's LAST
+    element and none on the final stage; channels
+    (16,16,32)/(32,32,64)/(64,64,128)/(128,128), in_channels=5."""
+    rng = np.random.RandomState(11)
+    sd = {}
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = rng.randn(c).astype(np.float32)
+        sd[f"{prefix}.bias"] = rng.randn(c).astype(np.float32) * 0.01
+        sd[f"{prefix}.running_mean"] = rng.randn(c).astype(np.float32) * 0.01
+        sd[f"{prefix}.running_var"] = np.abs(rng.randn(c)).astype(np.float32) * 0.01 + 1.0
+        sd[f"{prefix}.num_batches_tracked"] = np.asarray(1000, np.int64)
+
+    def basic(prefix, c):
+        sd[f"{prefix}.conv1.weight"] = rng.randn(c, 3, 3, 3, c).astype(np.float32) * 0.02
+        bn(f"{prefix}.bn1", c)
+        sd[f"{prefix}.conv2.weight"] = rng.randn(c, 3, 3, 3, c).astype(np.float32) * 0.02
+        bn(f"{prefix}.bn2", c)
+
+    def down(prefix, cin, cout, k=(3, 3, 3)):
+        sd[f"{prefix}.0.weight"] = rng.randn(cout, *k, cin).astype(np.float32) * 0.02
+        bn(f"{prefix}.1", cout)
+
+    pme = "pts_middle_encoder"
+    down(f"{pme}.conv_input", 5, 16)
+    chans = ((16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128))
+    for s, stage in enumerate(chans):
+        layer = f"{pme}.encoder_layers.encoder_layer{s + 1}"
+        last = s == len(chans) - 1
+        n_res = len(stage) if last else len(stage) - 1
+        for j in range(n_res):
+            basic(f"{layer}.{j}", stage[j])
+        if not last:
+            down(f"{layer}.{n_res}", stage[0], stage[-1])
+    down(f"{pme}.conv_out", 128, 128, k=(3, 1, 1))
+    return sd
+
+
+def test_centerpoint_encoder_conversion_shapes():
+    """Default-tier shape check: every zoo encoder tensor converts to the
+    residual SparseEncoder's param names/shapes (stage{s}_res{j}/conv1 ...,
+    stage{s}_down, conv_input/conv_out)."""
+    sd = fake_mmdet3d_centerpoint_encoder_state_dict()
+    params_c, stats_c = cvt.convert_centerpoint_state_dict(sd)
+    enc = params_c["pts_middle_encoder"]
+    assert enc["conv_input"]["kernel"].shape == (27 * 5, 16)
+    assert enc["stage0_res0"]["conv1"]["kernel"].shape == (27 * 16, 16)
+    assert enc["stage0_res1"]["conv2"]["kernel"].shape == (27 * 16, 16)
+    assert enc["stage0_down"]["kernel"].shape == (27 * 16, 32)
+    assert enc["stage1_down"]["kernel"].shape == (27 * 32, 64)
+    assert enc["stage2_down"]["kernel"].shape == (27 * 64, 128)
+    assert enc["stage3_res1"]["conv1"]["kernel"].shape == (27 * 128, 128)
+    assert "stage3_down" not in enc
+    assert enc["conv_out"]["kernel"].shape == (3 * 128, 128)
+    st = stats_c["pts_middle_encoder"]
+    assert st["stage0_res0"]["bn1"]["mean"].shape == (16,)
+    assert st["stage2_down"]["MaskedBatchNorm_0"]["var"].shape == (128,)
+
+
+@pytest.mark.heavy
+def test_full_centerpoint_zoo_roundtrip_forward():
+    """Heavy tier, VERDICT r4 #6 done criterion for the CenterPoint family:
+    a full zoo-layout state dict (basicblock encoder + SECOND backbone +
+    SECFPN neck + DCN head) converts, merges into AdversarialCenterPoint
+    with strict prefixes (no silent drops), and forwards finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from robustpointclouds_tpu.models.centerpoint import (
+        AdversarialCenterPoint, CenterPointConfig,
+    )
+    from robustpointclouds_tpu.models.center_detection import CenterHeadConfig
+    from robustpointclouds_tpu.nn.center_head import NUSCENES_TASKS
+    from robustpointclouds_tpu.ops.voxelize import VoxelizerConfig
+
+    sd = fake_mmdet3d_centerpoint_encoder_state_dict()
+    sd.update({
+        f"pts_{k}": v for k, v in fake_mmdet3d_second_state_dict().items()
+        if k.startswith(("backbone.", "neck."))
+    })
+    sd.update(fake_mmdet3d_centerpoint_head_state_dict())
+    params_c, stats_c = cvt.convert_centerpoint_state_dict(sd)
+
+    # tiny x/y grid, REAL z plan: 41 z planes (8.2 m / 0.2 m) fold to
+    # 2 * 128 = 256 BEV channels after the encoder's 4 z-halvings, matching
+    # the zoo backbone's in_channels=256
+    cfg = CenterPointConfig(
+        voxelizer=VoxelizerConfig(
+            point_cloud_range=(-6.4, -6.4, -5.0, 6.4, 6.4, 3.2),
+            voxel_size=(0.1, 0.1, 0.2),
+            max_points_per_voxel=3,
+            max_voxels=512,
+        ),
+        head=CenterHeadConfig(
+            tasks=NUSCENES_TASKS,
+            point_cloud_range=(-6.4, -6.4, -5.0, 6.4, 6.4, 3.2),
+            voxel_size=(0.1, 0.1),
+            max_objs=16,
+            nms_pre=64,
+        ),
+        adversary=None,
+        use_dcn_head=True,
+    )
+    model = AdversarialCenterPoint(cfg=cfg)
+    rng = np.random.RandomState(0)
+    pts = np.concatenate([
+        rng.uniform([-6, -6, -4.5], [6, 6, 3.0], (1, 256, 3)),
+        rng.rand(1, 256, 2),
+    ], -1).astype(np.float32)
+    points = jnp.asarray(pts)
+    mask = jnp.ones((1, 256), bool)
+    variables = model.init(jax.random.PRNGKey(0), points, mask, False, 0)
+
+    params_np = jax.tree_util.tree_map(np.asarray, dict(variables["params"]))
+    stats_np = jax.tree_util.tree_map(np.asarray, dict(variables["batch_stats"]))
+    new_params, loaded, skipped = cvt.merge_into_params(
+        params_np, params_c,
+        strict_prefixes=("pts_middle_encoder", "pts_backbone", "pts_neck",
+                         "pts_bbox_head"),
+    )
+    new_stats, loaded_s, skipped_s = cvt.merge_into_params(stats_np, stats_c)
+    assert not skipped, skipped
+    assert all("adapt" in s for s in skipped_s), skipped_s
+    assert len(loaded) > 150
+
+    outs = model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, new_params),
+         "batch_stats": jax.tree_util.tree_map(jnp.asarray, new_stats)},
+        points, mask, False, 0,
+    )
+    for task in outs.task_preds:
+        assert np.isfinite(np.asarray(task["heatmap"])).all()
+        assert np.isfinite(np.asarray(task["reg"])).all()
