@@ -18,6 +18,13 @@ import time
 
 import numpy as np
 
+# mmdet3d pointpillars_hv_secfpn_8xb6-160e_kitti-3d-3class published logs:
+# ~0.18-0.25 s/iter at per-GPU batch 6 on V100 (~30 f/s clean midpoint),
+# minus ~20% adversary overhead => ~24 f/s/GPU adversarial. Full derivation
+# in BASELINE.md ("pillar-family denominator"); deliberately generous to the
+# GPU so vs_baseline understates the TPU advantage.
+PILLAR_REFERENCE_FPS_ESTIMATE = 24.0
+
 
 def main():
     import jax
@@ -119,6 +126,7 @@ def main():
         "metric": "kitti_adv_pointpillars_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s/chip",
+        "vs_baseline": round(fps / PILLAR_REFERENCE_FPS_ESTIMATE, 3),
         "step_ms": round(1e3 * dt / iters, 1),
     }
     if flops_per_step:

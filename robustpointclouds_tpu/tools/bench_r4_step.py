@@ -161,6 +161,7 @@ def main():
         # 2^30 packed-sort cliff cannot apply — B is bounded only by int32
         # ids (B <= 23 at the KITTI grid) and HBM
         dict(batch_size=12, plan_mode=True, save_col=False, dw_gcol=False),
+        dict(batch_size=16, plan_mode=True, save_col=False, dw_gcol=False),
     ]
     results = []
     for v in variants:

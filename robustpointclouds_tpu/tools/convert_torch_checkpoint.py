@@ -308,6 +308,55 @@ def convert_centerpoint_state_dict(
     return params, stats
 
 
+def convert_pointpillars_state_dict(
+    sd: Dict[str, np.ndarray],
+) -> Tuple[Dict, Dict]:
+    """mmdet3d PointPillars (pointpillars_hv_secfpn) -> AdversarialPointPillars.
+
+    The zoo layout (`pointpillars_hv_secfpn_8xb6-160e_kitti-3d-3class`):
+
+      * voxel_encoder.pfn_layers.0.linear.weight [64, 9] (torch Linear,
+        bias=False because a norm follows) -> pfn/Dense_0/kernel [9, 64];
+        .norm.* (BatchNorm1d over the 64 channels, applied per point before
+        the pillar max) -> pfn/MaskedBatchNorm_0. The 9D decoration order
+        (xyzr, cluster offsets, pillar-center offsets) matches
+        models/pointpillars.PillarFeatureNet, so the linear transposes 1:1.
+      * backbone / neck / bbox_head: the same SECOND/SECONDFPN/Anchor3DHead
+        key layout as the SECOND zoo checkpoint -> convert_second_state_dict.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params, stats = convert_second_state_dict(sd)
+    lw = sd.get("voxel_encoder.pfn_layers.0.linear.weight")
+    if lw is not None:
+        _set(params, "pfn/Dense_0/kernel", np.transpose(lw, (1, 0)))
+        _bn(sd, "voxel_encoder.pfn_layers.0.norm", params, stats,
+            "pfn/MaskedBatchNorm_0")
+    return params, stats
+
+
+def detect_state_dict_layout(sd: Dict[str, np.ndarray]) -> str:
+    """Which zoo family a state dict belongs to: 'centerpoint' (pts_* keys),
+    'pointpillars' (PFN voxel encoder), or 'second' (sparse middle encoder).
+
+    Warm starts MUST dispatch on this (train/checkpoint.load_pretrained): a
+    family-mismatched converter finds none of its keys and would otherwise
+    "load" zero tensors while the run silently trains from random init —
+    the opposite of the reference's hard `load_from` contract
+    (adversarial-second_hv_secfpn_8xb6-80e_kitti-3d-3class.py:168).
+    """
+    if any(k.startswith("pts_") for k in sd):
+        return "centerpoint"
+    if any(k.startswith("voxel_encoder.pfn_layers.") for k in sd):
+        return "pointpillars"
+    if any(k.startswith("middle_encoder.") for k in sd):
+        return "second"
+    raise ValueError(
+        "unrecognized checkpoint layout: expected mmdet3d keys under pts_* "
+        "(CenterPoint), voxel_encoder.pfn_layers.* (PointPillars) or "
+        f"middle_encoder.* (SECOND); got keys like {sorted(sd)[:5]}"
+    )
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     import torch
 

@@ -129,22 +129,43 @@ def load_pretrained(state: TrainState, path: str) -> TrainState:
 
     if path.endswith(".pth"):
         from ..tools.convert_torch_checkpoint import (
+            convert_centerpoint_state_dict,
+            convert_pointpillars_state_dict,
             convert_second_state_dict,
+            detect_state_dict_layout,
             load_torch_checkpoint,
             merge_into_params,
         )
 
         sd = load_torch_checkpoint(path)
-        cp, cs = convert_second_state_dict(sd)
+        layout = detect_state_dict_layout(sd)
+        convert, strict = {
+            # strict = the detector trunk; head tensors may legitimately skip
+            # (plain-conv vs DCN CenterHead variants), adversary always does
+            "centerpoint": (convert_centerpoint_state_dict,
+                            ("pts_middle_encoder", "pts_backbone", "pts_neck")),
+            "pointpillars": (convert_pointpillars_state_dict,
+                             ("pfn", "backbone", "neck")),
+            "second": (convert_second_state_dict,
+                       ("middle_encoder", "backbone", "neck")),
+        }[layout]
+        cp, cs = convert(sd)
         new_p, loaded_p, skipped_p = merge_into_params(
             jax.tree_util.tree_map(np.asarray, state.params), cp,
-            strict_prefixes=("middle_encoder", "backbone", "neck"),
+            strict_prefixes=strict,
         )
         new_s, loaded_s, skipped_s = merge_into_params(
             jax.tree_util.tree_map(np.asarray, state.batch_stats), cs,
-            strict_prefixes=("middle_encoder", "backbone", "neck"),
+            strict_prefixes=strict,
         )
-        print(f"[load-from] {path}: loaded {len(loaded_p) + len(loaded_s)} tensors, "
+        if not loaded_p:
+            raise ValueError(
+                f"warm start from {path} (detected layout: {layout}) loaded "
+                "ZERO parameter tensors — the checkpoint family does not "
+                "match this model's architecture"
+            )
+        print(f"[load-from] {path} ({layout}): "
+              f"loaded {len(loaded_p) + len(loaded_s)} tensors, "
               f"skipped {len(skipped_p) + len(skipped_s)}")
         return state._replace(
             params=jax.tree_util.tree_map(jnp.asarray, new_p),

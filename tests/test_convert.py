@@ -431,3 +431,200 @@ def test_full_centerpoint_zoo_roundtrip_forward():
     for task in outs.task_preds:
         assert np.isfinite(np.asarray(task["heatmap"])).all()
         assert np.isfinite(np.asarray(task["reg"])).all()
+
+
+def fake_mmdet3d_pointpillars_state_dict():
+    """EXACT key/shape layout of the mmdet3d
+    pointpillars_hv_secfpn_8xb6-160e_kitti-3d-3class zoo checkpoint:
+    PillarFeatureNet with ONE PFNLayer (bias-free Linear 9->64 + BatchNorm1d),
+    SECOND backbone (64,128,256) x (1+3, 1+5, 1+5) convs at strides (2,2,2),
+    SECFPN neck with ConvTranspose2d deblocks at strides (1,2,4) (k == stride;
+    transposed even at stride 1 under the default use_conv_for_no_stride),
+    Anchor3DHead 1x1 convs on the 384ch concat (6 anchors/loc, 3 classes)."""
+    rng = np.random.RandomState(3)
+    sd = {}
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = rng.randn(c).astype(np.float32)
+        sd[f"{prefix}.bias"] = rng.randn(c).astype(np.float32) * 0.01
+        sd[f"{prefix}.running_mean"] = rng.randn(c).astype(np.float32) * 0.01
+        sd[f"{prefix}.running_var"] = np.abs(rng.randn(c)).astype(np.float32) * 0.01 + 1.0
+        sd[f"{prefix}.num_batches_tracked"] = np.asarray(1000, np.int64)
+
+    sd["voxel_encoder.pfn_layers.0.linear.weight"] = (
+        rng.randn(64, 9).astype(np.float32) * 0.05
+    )
+    bn("voxel_encoder.pfn_layers.0.norm", 64)
+
+    for s, (cin, cout, n) in enumerate(((64, 64, 4), (64, 128, 6), (128, 256, 6))):
+        j = 0
+        for ci in range(n):
+            c_in = cin if ci == 0 else cout
+            sd[f"backbone.blocks.{s}.{j}.weight"] = (
+                rng.randn(cout, c_in, 3, 3).astype(np.float32) * 0.05
+            )
+            j += 1
+            bn(f"backbone.blocks.{s}.{j}", cout)
+            j += 2  # bn + relu placeholder
+
+    # ConvTranspose2d weight layout (in, out, kh, kw); k == upsample stride
+    sd["neck.deblocks.0.0.weight"] = rng.randn(64, 128, 1, 1).astype(np.float32) * 0.05
+    bn("neck.deblocks.0.1", 128)
+    sd["neck.deblocks.1.0.weight"] = rng.randn(128, 128, 2, 2).astype(np.float32) * 0.05
+    bn("neck.deblocks.1.1", 128)
+    sd["neck.deblocks.2.0.weight"] = rng.randn(256, 128, 4, 4).astype(np.float32) * 0.05
+    bn("neck.deblocks.2.1", 128)
+
+    for name, c in (("conv_cls", 18), ("conv_reg", 42), ("conv_dir_cls", 12)):
+        sd[f"bbox_head.{name}.weight"] = rng.randn(c, 384, 1, 1).astype(np.float32) * 0.05
+        sd[f"bbox_head.{name}.bias"] = rng.randn(c).astype(np.float32) * 0.01
+    return sd
+
+
+def _tiny_pillar_cfg():
+    from robustpointclouds_tpu.models import PointPillarsConfig
+    from robustpointclouds_tpu.ops.voxelize import VoxelizerConfig
+
+    return PointPillarsConfig(
+        voxelizer=VoxelizerConfig(
+            point_cloud_range=(0.0, -8.0, -3.0, 16.0, 8.0, 1.0),
+            voxel_size=(0.5, 0.5, 4.0),
+            max_points_per_voxel=8, max_voxels=128,
+        ),
+        anchor_ranges=(
+            (0, -8.0, -1.78, 16.0, 8.0, -1.78),
+            (0, -8.0, -0.6, 16.0, 8.0, -0.6),
+            (0, -8.0, -0.6, 16.0, 8.0, -0.6),
+        ),
+        adversary=None,
+    )
+
+
+class TestPointPillarsConversion:
+    def test_layout_detection(self):
+        assert cvt.detect_state_dict_layout(
+            fake_mmdet3d_pointpillars_state_dict()) == "pointpillars"
+        assert cvt.detect_state_dict_layout(
+            fake_mmdet3d_second_state_dict()) == "second"
+        assert cvt.detect_state_dict_layout(
+            fake_mmdet3d_centerpoint_encoder_state_dict()) == "centerpoint"
+        with pytest.raises(ValueError):
+            cvt.detect_state_dict_layout({"foo.bar": np.zeros(3)})
+
+    def test_pfn_linear_orientation(self):
+        """torch Linear weight [out=64, in=9] must transpose to the flax
+        Dense kernel [9, 64]: y = x @ kernel must equal x @ W.T."""
+        sd = fake_mmdet3d_pointpillars_state_dict()
+        params_c, stats_c = cvt.convert_pointpillars_state_dict(sd)
+        k = params_c["pfn"]["Dense_0"]["kernel"]
+        w = sd["voxel_encoder.pfn_layers.0.linear.weight"]
+        assert k.shape == (9, 64)
+        x = np.random.RandomState(1).randn(5, 9).astype(np.float32)
+        np.testing.assert_allclose(x @ k, x @ w.T)
+        np.testing.assert_array_equal(
+            stats_c["pfn"]["MaskedBatchNorm_0"]["mean"],
+            sd["voxel_encoder.pfn_layers.0.norm.running_mean"],
+        )
+
+    def test_full_pointpillars_zoo_roundtrip_forward(self):
+        """VERDICT r4 #6 done criterion for the pillar family: the full zoo
+        layout converts, merges into AdversarialPointPillars with ZERO skips
+        (tiny grid, REAL channel widths), and forwards finite."""
+        import jax
+        import jax.numpy as jnp
+
+        from robustpointclouds_tpu.data import synthetic_kitti_batch
+        from robustpointclouds_tpu.data.structures import PointCloudBatch
+        from robustpointclouds_tpu.models import AdversarialPointPillars
+
+        sd = fake_mmdet3d_pointpillars_state_dict()
+        params_c, stats_c = cvt.convert_pointpillars_state_dict(sd)
+
+        model = AdversarialPointPillars(cfg=_tiny_pillar_cfg())
+        b = synthetic_kitti_batch(
+            np.random.RandomState(0), 1, 512,
+            point_range=(0.0, -8.0, -3.0, 16.0, 8.0, 1.0),
+        )
+        batch = PointCloudBatch(*(jnp.asarray(x) for x in b))
+        variables = model.init(
+            jax.random.PRNGKey(0), batch.points, batch.points_mask, False, 0
+        )
+        params_np = jax.tree_util.tree_map(np.asarray, dict(variables["params"]))
+        stats_np = jax.tree_util.tree_map(np.asarray, dict(variables["batch_stats"]))
+        new_params, loaded, skipped = cvt.merge_into_params(
+            params_np, params_c, strict_prefixes=("pfn", "backbone", "neck")
+        )
+        new_stats, loaded_s, skipped_s = cvt.merge_into_params(stats_np, stats_c)
+        assert not skipped, skipped
+        assert not skipped_s, skipped_s
+        assert len(loaded) > 25
+
+        outs = model.apply(
+            {"params": jax.tree_util.tree_map(jnp.asarray, new_params),
+             "batch_stats": jax.tree_util.tree_map(jnp.asarray, new_stats)},
+            batch.points, batch.points_mask, False, 0,
+        )
+        assert np.isfinite(np.asarray(outs.cls_scores)).all()
+        assert np.isfinite(np.asarray(outs.bbox_preds)).all()
+
+
+class TestLoadPretrainedDispatch:
+    def test_pillar_pth_warm_start(self, tmp_path):
+        """load_pretrained detects the pointpillars layout and lands the PFN
+        + trunk tensors into a pillar Trainer state."""
+        torch = pytest.importorskip("torch")
+        import jax
+        import jax.numpy as jnp
+
+        from robustpointclouds_tpu.data import synthetic_kitti_batch
+        from robustpointclouds_tpu.data.structures import PointCloudBatch
+        from robustpointclouds_tpu.train import TrainConfig, Trainer
+        from robustpointclouds_tpu.train.checkpoint import load_pretrained
+
+        sd = fake_mmdet3d_pointpillars_state_dict()
+        path = tmp_path / "pillars.pth"
+        torch.save(
+            {"state_dict": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}},
+            path,
+        )
+        trainer = Trainer(model_cfg=_tiny_pillar_cfg(), train_cfg=TrainConfig())
+        b = synthetic_kitti_batch(
+            np.random.RandomState(0), 1, 512,
+            point_range=(0.0, -8.0, -3.0, 16.0, 8.0, 1.0),
+        )
+        batch = PointCloudBatch(*(jnp.asarray(x) for x in b))
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        state2 = load_pretrained(state, str(path))
+        np.testing.assert_allclose(
+            np.asarray(state2.params["pfn"]["Dense_0"]["kernel"]),
+            sd["voxel_encoder.pfn_layers.0.linear.weight"].T,
+            rtol=1e-6,
+        )
+
+    def test_zero_loaded_raises(self, tmp_path):
+        """A recognized family whose tensors all fail to land must raise, not
+        silently train from random init (the pre-fix behavior for any
+        non-SECOND .pth)."""
+        torch = pytest.importorskip("torch")
+        import jax
+        import jax.numpy as jnp
+
+        from robustpointclouds_tpu.data import synthetic_kitti_batch
+        from robustpointclouds_tpu.data.structures import PointCloudBatch
+        from robustpointclouds_tpu.train import TrainConfig, Trainer
+        from robustpointclouds_tpu.train.checkpoint import load_pretrained
+
+        sd = {"middle_encoder.unknown_block.0.weight": np.zeros((8, 3, 3, 3, 4), np.float32)}
+        path = tmp_path / "junk.pth"
+        torch.save(
+            {"state_dict": {k: torch.from_numpy(v) for k, v in sd.items()}}, path
+        )
+        trainer = Trainer(model_cfg=_tiny_pillar_cfg(), train_cfg=TrainConfig())
+        b = synthetic_kitti_batch(
+            np.random.RandomState(0), 1, 256,
+            point_range=(0.0, -8.0, -3.0, 16.0, 8.0, 1.0),
+        )
+        batch = PointCloudBatch(*(jnp.asarray(x) for x in b))
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        with pytest.raises(ValueError, match="ZERO"):
+            load_pretrained(state, str(path))
