@@ -482,12 +482,17 @@ def run_evaluation(
     attack: bool = False,
     dump_path: Optional[str] = None,
     tta: bool = False,
+    attack_method: str = "learned",
+    attack_steps: int = 10,
 ) -> Dict[str, float]:
     """Clean or attack-mode evaluation -> KITTI AP dict.
 
     attack=True forces the adversary with eval-attack bounds at test time —
     the reference's `evaluate_kitti_adversarial_attack` measurement
     (patch_model_for_adversarial_eval, evaluate_kitti_adversarial_attack.py:23-62).
+    attack_method: "learned" (the reference's amortized adversary), or the
+    white-box gradient baselines "pgd"/"fgsm" (eval/attacks.py) under the
+    same physical envelope — these need a plan-fed anchor-head trainer.
     dump_path: write per-frame detections (frame_id, boxes_3d, scores,
     labels) as a pickle — the reference's `pklfile_prefix` result dump
     (testUpdated.bat:12) used for offline analysis / KITTI submission prep.
@@ -514,6 +519,22 @@ def run_evaluation(
     if isinstance(trainer, Trainer):
         plan_builder = trainer.make_plan_builder()
 
+    attack_fn = None
+    if attack and attack_method != "learned":
+        if plan_builder is None:
+            raise ValueError(
+                f"attack_method={attack_method!r} needs a plan-fed anchor-head "
+                "trainer (gradients are taken w.r.t. the plan's voxels)"
+            )
+        from ..eval.attacks import make_plan_attack
+
+        if attack_method == "fgsm":
+            attack_fn = make_plan_attack(trainer, steps=1, rel_step=1.0)
+        elif attack_method == "pgd":
+            attack_fn = make_plan_attack(trainer, steps=attack_steps)
+        else:
+            raise ValueError(f"unknown attack_method {attack_method!r}")
+
     def _eval_plan(b):
         if plan_builder is None:
             return None
@@ -536,7 +557,14 @@ def run_evaluation(
         kw = {}
         if plan_builder is not None:
             kw["plan"] = _eval_plan(batch)
-        outs = trainer.forward_eval(state, batch, attack=attack, **kw)
+        if attack_fn is not None:
+            # gradient attack rewrites the plan's voxels; the forward itself
+            # then runs CLEAN (the perturbation is already in the input)
+            kw["plan"] = attack_fn(state.params, state.batch_stats, batch,
+                                   kw["plan"])
+            outs = trainer.forward_eval(state, batch, attack=False, **kw)
+        else:
+            outs = trainer.forward_eval(state, batch, attack=attack, **kw)
         boxes, scores, labels, mask = predict(outs.cls_scores, outs.bbox_preds, outs.dir_preds)
         if tta:
             flipped = batch._replace(
@@ -545,7 +573,18 @@ def run_evaluation(
             kw_f = {}
             if plan_builder is not None:
                 kw_f["plan"] = _eval_plan(flipped)
-            outs_f = trainer.forward_eval(state, flipped, attack=attack, **kw_f)
+            if attack_fn is not None:
+                # the attack loss needs GT in the flipped frame (clean TTA
+                # never reads GT, so the flip above only mirrors the points)
+                flipped_gt = flipped._replace(
+                    gt_boxes=jnp.asarray(batch.gt_boxes)
+                    .at[..., 1].multiply(-1.0).at[..., 6].multiply(-1.0)
+                )
+                kw_f["plan"] = attack_fn(state.params, state.batch_stats,
+                                         flipped_gt, kw_f["plan"])
+                outs_f = trainer.forward_eval(state, flipped, attack=False, **kw_f)
+            else:
+                outs_f = trainer.forward_eval(state, flipped, attack=attack, **kw_f)
             bf, sf, lf, mf = predict(
                 outs_f.cls_scores, outs_f.bbox_preds, outs_f.dir_preds
             )

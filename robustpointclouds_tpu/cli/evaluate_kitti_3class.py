@@ -47,7 +47,7 @@ def parse_args():
 def evaluate_checkpoint(work_dir, data_root, batch_size, synthetic, limit,
                         attack=False, tiny=False, load_from=None,
                         allow_random_init=False, dump_results=None,
-                        tta=False):
+                        tta=False, attack_method="learned", attack_steps=10):
     import jax
 
     from ..data.structures import PointCloudBatch
@@ -118,7 +118,8 @@ def evaluate_checkpoint(work_dir, data_root, batch_size, synthetic, limit,
         )
 
     return run_evaluation(trainer, state, iter(batches), attack=attack,
-                          dump_path=dump_results, tta=tta)
+                          dump_path=dump_results, tta=tta,
+                          attack_method=attack_method, attack_steps=attack_steps)
 
 
 def main():

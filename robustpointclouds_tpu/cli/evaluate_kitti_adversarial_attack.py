@@ -26,6 +26,12 @@ def parse_args():
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--allow-random-init", action="store_true",
                    help="permit scoring an untrained model (smoke runs only)")
+    p.add_argument("--method", default="learned",
+                   choices=("learned", "pgd", "fgsm"),
+                   help="attack: the reference's learned adversary (default) "
+                        "or the white-box gradient baselines under the same "
+                        "physical envelope (eval/attacks.py)")
+    p.add_argument("--pgd-steps", type=int, default=10)
     return p.parse_args()
 
 
@@ -45,10 +51,16 @@ def main():
     )
     print(json.dumps(clean, indent=2))
 
-    print("=" * 60 + "\nATTACK EVALUATION (forced perturbations, eval bounds)\n" + "=" * 60)
+    label = {
+        "learned": "forced perturbations, eval bounds",
+        "pgd": f"white-box PGD-{args.pgd_steps}, same physical envelope",
+        "fgsm": "white-box FGSM, same physical envelope",
+    }[args.method]
+    print("=" * 60 + f"\nATTACK EVALUATION ({label})\n" + "=" * 60)
     attacked = evaluate_checkpoint(
         wd, args.data_root, args.batch_size, args.synthetic, args.limit,
         attack=True, tiny=args.tiny, allow_random_init=args.allow_random_init,
+        attack_method=args.method, attack_steps=args.pgd_steps,
     )
     print(json.dumps(attacked, indent=2))
 

@@ -1,0 +1,103 @@
+"""White-box gradient attack (PGD/FGSM) baselines — eval/attacks.py.
+
+Same overfit scene + trainer config as test_attack_quantified (identical
+shapes/functions -> the persistent XLA cache shares every compile), then:
+the PGD-attacked evaluation must lose AP like the learned attack does, the
+perturbation must respect the physical envelope exactly, and padding rows
+must stay untouched.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from test_model import as_jnp, tiny_cfg
+from test_attack_quantified import separated_car_batch
+
+from robustpointclouds_tpu.eval.attacks import make_plan_attack
+from robustpointclouds_tpu.nn.perturber import _bound_profile
+from robustpointclouds_tpu.train import TrainConfig, Trainer
+
+
+def _overfit_trainer_and_state():
+    cfg = tiny_cfg(adversary=True)
+    cfg = cfg._replace(
+        head=cfg.head._replace(
+            pos_iou_thr=(0.25, 0.1, 0.1),
+            neg_iou_thr=(0.15, 0.05, 0.05),
+            min_pos_iou=(0.1, 0.05, 0.05),
+        )
+    )
+    trainer = Trainer(model_cfg=cfg, train_cfg=TrainConfig(learning_rate=1e-4))
+    rng = np.random.RandomState(5)
+    batch = as_jnp(separated_car_batch(rng))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    def chunk(state, batch, epoch):
+        def body(st, _):
+            st2, logs = trainer._step_impl(st, batch, epoch)
+            return st2, (logs["loss"], logs["num_pos"])
+
+        return jax.lax.scan(body, state, None, length=100)
+
+    run = jax.jit(chunk)
+    epoch = jnp.float32(5)
+    for _ in range(7):
+        state, (losses, npos) = run(state, batch, epoch)
+    assert np.isfinite(np.asarray(losses)).all()
+    assert float(npos[-1]) >= 8, float(npos[-1])
+    return trainer, state, batch
+
+
+def test_pgd_attack_drops_ap_and_respects_envelope():
+    from robustpointclouds_tpu.cli.common import run_evaluation
+
+    trainer, state, batch = _overfit_trainer_and_state()
+
+    # --- direct envelope checks on the attack itself -----------------------
+    builder = trainer.make_plan_builder()
+    plan = builder(np.asarray(batch.points), np.asarray(batch.points_mask))
+    plan = jax.tree_util.tree_map(np.asarray, plan)
+    attack_fn = make_plan_attack(trainer, steps=3)
+    attacked = attack_fn(state.params, state.batch_stats, batch, plan)
+
+    delta = np.asarray(attacked["voxels"]) - np.asarray(plan["voxels"])
+    bound = float(trainer.model_cfg.adversary["sensor_error_bound"])
+    _, clamp = _bound_profile(delta.shape[-1], bound, attack=True)
+    assert (np.abs(delta) <= clamp[None, None, None, :] + 1e-5).all()
+    pm = np.asarray(plan["point_mask"]).astype(bool)
+    assert np.abs(delta[~pm]).max() == 0.0  # padding rows untouched
+    assert np.abs(delta[pm]).max() > 0.0  # and the attack actually moved
+
+    # PGD maximizes the detection loss: the attacked forward must score the
+    # GT worse than the clean one (loss strictly up on an overfit model)
+    from robustpointclouds_tpu.models.detection import anchor_head_loss
+
+    def det_loss(pl):
+        outs = trainer.forward_eval(state, batch, attack=False, plan=pl)
+        det = anchor_head_loss(
+            outs.cls_scores, outs.bbox_preds, outs.dir_preds,
+            trainer.anchors, trainer.anchor_cls,
+            batch.gt_boxes, batch.gt_labels, batch.gt_mask,
+            trainer.model_cfg.head,
+        )
+        return float(det["loss_cls"] + det["loss_bbox"] + det["loss_dir"])
+
+    clean_loss, attacked_loss = det_loss(plan), det_loss(attacked)
+    assert attacked_loss > clean_loss * 1.5, (clean_loss, attacked_loss)
+
+    # --- end-to-end: AP under PGD through the real eval path ---------------
+    clean = run_evaluation(trainer, state, iter([batch]), attack=False)
+    pgd = run_evaluation(
+        trainer, state, iter([batch]), attack=True, attack_method="pgd",
+        attack_steps=10,
+    )
+    car = "Car_3d_moderate"
+    assert clean[car] >= 7.5 - 1e-6, (clean[car], pgd[car])
+    drop = clean[car] - pgd[car]
+    assert drop >= 2.5 - 1e-6, (clean[car], pgd[car])
+
+    # FGSM (1 signed step to the boundary) runs through the same path
+    fgsm = run_evaluation(
+        trainer, state, iter([batch]), attack=True, attack_method="fgsm",
+    )
+    assert np.isfinite(fgsm[car])
