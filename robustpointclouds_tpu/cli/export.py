@@ -60,30 +60,45 @@ def export_serving(trainer, state, batch_size: int, num_points: int,
     import jax.numpy as jnp
     from jax import export as jexport
 
-    from ..models.detection import anchor_head_predict
-
     cfg = trainer.model_cfg
     params, stats = state.params, state.batch_stats
     head = cfg.head
-    anchors, _ = trainer.anchors, trainer.anchor_cls
+    num_features = getattr(cfg, "num_point_features", 4)
 
-    def serve(points, mask, plan=None):
-        outs = trainer.model.apply(
-            {"params": params, "batch_stats": stats},
-            points, mask, False, 100, False, -1.0, plan,
-        )
-        return anchor_head_predict(
-            outs.cls_scores, outs.bbox_preds, outs.dir_preds, anchors, head
-        )
+    if hasattr(trainer, "anchors"):  # SECOND / pillar families
+        from ..models.detection import anchor_head_predict
 
-    example_points = jnp.zeros((batch_size, num_points, 4), jnp.float32)
+        anchors = trainer.anchors
+
+        def serve(points, mask, plan=None):
+            outs = trainer.model.apply(
+                {"params": params, "batch_stats": stats},
+                points, mask, False, 100, False, -1.0, plan,
+            )
+            return anchor_head_predict(
+                outs.cls_scores, outs.bbox_preds, outs.dir_preds, anchors, head
+            )
+    else:  # CenterPoint: per-task heatmap top-k + circle NMS decode
+        from ..models.center_detection import centerpoint_decode
+
+        def serve(points, mask, plan=None):
+            outs = trainer.model.apply(
+                {"params": params, "batch_stats": stats},
+                points, mask, False, 100, False, -1.0, plan,
+            )
+            return centerpoint_decode(outs.task_preds, head)
+
+    example_points = jnp.zeros((batch_size, num_points, num_features),
+                               jnp.float32)
     example_mask = jnp.zeros((batch_size, num_points), bool)
     if use_plan:
         import numpy as np
 
         builder = trainer.make_plan_builder()
-        plan = builder(np.zeros((batch_size, num_points, 4), np.float32),
-                       np.zeros((batch_size, num_points), bool))
+        plan = builder(
+            np.zeros((batch_size, num_points, num_features), np.float32),
+            np.zeros((batch_size, num_points), bool),
+        )
         plan = jax.tree_util.tree_map(jnp.asarray, plan)
         fn = jax.jit(lambda pts, m, pl: serve(pts, m, pl))
         exported = jexport.export(fn)(example_points, example_mask, plan)
@@ -96,7 +111,10 @@ def export_serving(trainer, state, batch_size: int, num_points: int,
         "batch_size": batch_size,
         "num_points": num_points,
         "plan_fed": use_plan,
-        "classes": list(cfg.class_names),
+        "classes": list(getattr(
+            cfg, "class_names",
+            [c for t in getattr(cfg, "tasks", ()) for c in t],
+        )),
         "platforms": list(exported.platforms),
         "jax_version": jax.__version__,
         "outputs": ["boxes [B,N,7]", "scores [B,N]", "labels [B,N]",
@@ -141,11 +159,16 @@ def main():
     from ..train import TrainConfig, Trainer
     from ..train.checkpoint import CheckpointManager
 
+    trainer_cls = Trainer
     if args.config:
         from ..core.builders import build_model_config
         from ..core.config import Config
 
         model_cfg = build_model_config(Config.fromfile(args.config))
+        if type(model_cfg).__name__ == "CenterPointConfig":
+            from ..train.centerpoint_loop import CenterPointTrainer
+
+            trainer_cls = CenterPointTrainer
     elif args.tiny:
         from ..ops.voxelize import VoxelizerConfig
 
@@ -162,18 +185,29 @@ def main():
     else:
         model_cfg = VoxelNetConfig()
 
-    trainer = Trainer(model_cfg=model_cfg, train_cfg=TrainConfig())
+    trainer = trainer_cls(model_cfg=model_cfg, train_cfg=TrainConfig())
     import numpy as np
 
-    from ..data import synthetic_kitti_batch
     from ..data.structures import PointCloudBatch
     import jax.numpy as jnp
 
-    sample = synthetic_kitti_batch(
-        np.random.RandomState(0), args.batch_size,
-        min(args.num_points, 2048),
-        point_range=model_cfg.voxelizer.point_cloud_range,
-    )
+    if trainer_cls is Trainer:
+        from ..data import synthetic_kitti_batch
+
+        sample = synthetic_kitti_batch(
+            np.random.RandomState(0), args.batch_size,
+            min(args.num_points, 2048),
+            point_range=model_cfg.voxelizer.point_cloud_range,
+        )
+    else:
+        from ..data.nuscenes import synthetic_nuscenes_batch
+
+        sample, _ = synthetic_nuscenes_batch(
+            np.random.RandomState(0), batch_size=args.batch_size,
+            num_points=min(args.num_points, 2048),
+            max_gt=model_cfg.head.max_objs,
+            point_range=model_cfg.voxelizer.point_cloud_range,
+        )
     state = trainer.init_state(
         jax.random.PRNGKey(0), PointCloudBatch(*(jnp.asarray(x) for x in sample))
     )

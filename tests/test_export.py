@@ -69,3 +69,60 @@ def test_export_plan_fed_matches_inline(tmp_path):
     )
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_export_centerpoint_roundtrip(tmp_path):
+    """The CenterPoint family exports with its own decode (heatmap top-k +
+    circle NMS) and reloads bitwise."""
+    from robustpointclouds_tpu.cli.train_nuscenes_adversarial import (
+        tiny_centerpoint_cfg,
+    )
+    from robustpointclouds_tpu.data.nuscenes import synthetic_nuscenes_batch
+    from robustpointclouds_tpu.data.structures import PointCloudBatch
+    from robustpointclouds_tpu.models.center_detection import centerpoint_decode
+    from robustpointclouds_tpu.models.centerpoint import CenterPointConfig
+    from robustpointclouds_tpu.train.centerpoint_loop import CenterPointTrainer
+
+    cfg, npts = tiny_centerpoint_cfg(CenterPointConfig(adversary=None))
+    trainer = CenterPointTrainer(model_cfg=cfg)
+    b, _vel = synthetic_nuscenes_batch(
+        np.random.RandomState(0), batch_size=1, num_points=npts,
+        max_gt=cfg.head.max_objs,
+        point_range=cfg.voxelizer.point_cloud_range,
+    )
+    batch = PointCloudBatch(*(jnp.asarray(x) for x in b))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    exported, meta = export_serving(trainer, state, batch_size=1,
+                                    num_points=npts)
+    assert meta["model_type"] == "AdversarialCenterPoint"
+    path = str(tmp_path / "cp.jaxexp")
+    save_exported(exported, meta, path)
+    call, _ = load_exported(path)
+
+    got = call(batch.points, batch.points_mask)
+
+    # bitwise vs the SAME fused graph jitted in-process (the artifact is a
+    # serialization of exactly this function)
+    fused = jax.jit(
+        lambda pts, m: centerpoint_decode(
+            trainer.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                pts, m, False, 100, False, -1.0, None,
+            ).task_preds,
+            cfg.head,
+        )
+    )
+    want = fused(batch.points, batch.points_mask)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # and within float roundoff of the separately-jitted eval+decode path
+    # (different fusion -> different accumulation order, not different math)
+    outs = trainer.forward_eval(state, batch)
+    loose = centerpoint_decode(outs.task_preds, cfg.head)
+    for g, w in zip(got, loose):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(w, np.float32),
+            rtol=2e-3, atol=2e-3,
+        )
