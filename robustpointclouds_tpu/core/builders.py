@@ -118,6 +118,12 @@ def build_train_config(cfg: Config, **overrides):
         regularization_weight=float(
             cfg.get("model", {}).get("regularization_weight", base.regularization_weight)
         ),
+        # PGD adversarial training (train/loop.TrainConfig.pgd_steps):
+        # `pgd_adversary = dict(steps=K, rel_step=2.5)` in the config
+        pgd_steps=int(cfg.get("pgd_adversary", {}).get("steps", base.pgd_steps)),
+        pgd_rel_step=float(
+            cfg.get("pgd_adversary", {}).get("rel_step", base.pgd_rel_step)
+        ),
     )
     kwargs.update(overrides)
     return TrainConfig(**kwargs)

@@ -21,8 +21,11 @@ import jax
 import jax.numpy as jnp
 
 
-def make_plan_attack(trainer, steps: int = 10, rel_step: float = 2.5):
+def make_plan_attack(trainer, steps: int = 10, rel_step: float = 2.5,
+                     jit: bool = True):
     """Build a jitted `(params, batch_stats, batch, plan) -> attacked_plan`.
+    `jit=False` returns the raw traceable function — used INSIDE the train
+    step for PGD adversarial training (train/loop.TrainConfig.pgd_steps).
 
     `trainer` must be a plan-fed anchor-head Trainer (the SECOND flagship or
     the pillar family); the attack perturbs `plan["voxels"]` within the
@@ -59,7 +62,6 @@ def make_plan_attack(trainer, steps: int = 10, rel_step: float = 2.5):
 
     grad_fn = jax.grad(det_loss)
 
-    @jax.jit
     def attack(params, stats, batch, plan):
         voxels = plan["voxels"]
         _, clamp = _bound_profile(voxels.shape[-1], bound, attack=True)
@@ -74,4 +76,4 @@ def make_plan_attack(trainer, steps: int = 10, rel_step: float = 2.5):
         m = plan["point_mask"][..., None].astype(voxels.dtype)
         return dict(plan, voxels=voxels + delta * m)
 
-    return attack
+    return jax.jit(attack) if jit else attack

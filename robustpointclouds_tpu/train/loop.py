@@ -52,6 +52,16 @@ class TrainConfig:
     # reference --freeze-detector mode (train_kitti_3class_adversarial.py:198-211):
     # detector learning off, adversary lr_mult 20
     freeze_detector: bool = False
+    # PGD adversarial training (Madry, arXiv:1706.06083) — beyond the
+    # reference's learned-adversary recipe: >0 runs a pgd_steps-step white-box
+    # attack on the plan's raw voxels (eval/attacks.make_plan_attack, same
+    # physical envelope as the learned attack) INSIDE the train step and
+    # trains the detector on the attacked input. Requires the plan-fed path;
+    # typically combined with model adversary=None. The attack is treated as
+    # a constant w.r.t. params (standard AT: no second-order term — jax.grad
+    # at the loss boundary never differentiates the outer delta computation).
+    pgd_steps: int = 0
+    pgd_rel_step: float = 2.5
 
 
 class TrainState(NamedTuple):
@@ -297,6 +307,7 @@ class Trainer:
         self.mesh = mesh
         self._train_step = None
         self._eval_step = None
+        self._pgd_fn = None
 
     # -- initialization -----------------------------------------------------
     def init_state(self, rng: jax.Array, sample_batch: PointCloudBatch) -> TrainState:
@@ -438,7 +449,27 @@ class Trainer:
 
     def _step_impl(self, state: TrainState, batch: PointCloudBatch, epoch,
                    plan=None):
+        plan = self._maybe_pgd(state, batch, plan)
         return self._apply(state, *self._grads(state, batch, epoch, plan))
+
+    def _maybe_pgd(self, state: TrainState, batch: PointCloudBatch, plan):
+        """PGD adversarial training: rewrite the plan's voxels with a K-step
+        white-box attack at the current params before the gradient step."""
+        if not self.train_cfg.pgd_steps:
+            return plan
+        if plan is None:
+            raise ValueError(
+                "pgd_steps > 0 needs the plan-fed path (the attack perturbs "
+                "the plan's raw voxels) — feed train_step a host plan"
+            )
+        if self._pgd_fn is None:
+            from ..eval.attacks import make_plan_attack
+
+            self._pgd_fn = make_plan_attack(
+                self, steps=self.train_cfg.pgd_steps,
+                rel_step=self.train_cfg.pgd_rel_step, jit=False,
+            )
+        return self._pgd_fn(state.params, state.batch_stats, batch, plan)
 
     def _sharded_step_impl(self, state: TrainState, batch: PointCloudBatch,
                            epoch, plan=None):
@@ -452,6 +483,9 @@ class Trainer:
         local_plan = None if plan is None else jax.tree_util.tree_map(
             lambda x: x[0], plan
         )
+        # PGD-AT under DDP: each device attacks its OWN sub-plan (the attack
+        # is per-frame, so this is exactly the global-batch attack partitioned)
+        local_plan = self._maybe_pgd(state, batch, local_plan)
         grads, new_stats, logs, is_nan = self._grads(state, batch, epoch, local_plan)
         # Reference-DDP reductions (train.py:57-60 / torch DistributedDataParallel):
         # mean gradients; BN running stats and scalar logs are likewise

@@ -101,3 +101,64 @@ def test_pgd_attack_drops_ap_and_respects_envelope():
         trainer, state, iter([batch]), attack=True, attack_method="fgsm",
     )
     assert np.isfinite(fgsm[car])
+
+
+def test_pgd_adversarial_training():
+    """PGD-AT (TrainConfig.pgd_steps): the step attacks the plan in-step —
+    same params see a strictly harder batch — and the detector still learns
+    on the attacked input."""
+    import pytest
+
+    cfg = tiny_cfg(adversary=False)
+    cfg = cfg._replace(
+        head=cfg.head._replace(
+            pos_iou_thr=(0.25, 0.1, 0.1),
+            neg_iou_thr=(0.15, 0.05, 0.05),
+            min_pos_iou=(0.1, 0.05, 0.05),
+        )
+    )
+    at = Trainer(model_cfg=cfg,
+                 train_cfg=TrainConfig(learning_rate=1e-4, pgd_steps=2))
+    plain = Trainer(model_cfg=cfg, train_cfg=TrainConfig(learning_rate=1e-4))
+    rng = np.random.RandomState(5)
+    batch = as_jnp(separated_car_batch(rng))
+    state = at.init_state(jax.random.PRNGKey(0), batch)
+
+    builder = at.make_plan_builder()
+    plan = builder(
+        np.asarray(batch.points), np.asarray(batch.points_mask),
+        np.asarray(batch.gt_boxes), np.asarray(batch.gt_labels),
+        np.asarray(batch.gt_mask),
+    )
+    plan = jax.tree_util.tree_map(jnp.asarray, plan)
+
+    # plan-fed is REQUIRED for PGD-AT
+    with pytest.raises(ValueError, match="plan"):
+        at._step_impl(state, batch, jnp.float32(5), None)
+
+    # at identical params, the attacked step sees a strictly higher loss
+    _, logs_at = jax.jit(at._step_impl)(state, batch, jnp.float32(5), plan)
+    _, logs_pl = jax.jit(plain._step_impl)(state, batch, jnp.float32(5), plan)
+    assert float(logs_at["loss"]) > float(logs_pl["loss"]), (
+        float(logs_at["loss"]), float(logs_pl["loss"]))
+
+    # and training on the attacked input converges (robust overfit)
+    def chunk(state, batch, plan):
+        def body(st, _):
+            st2, logs = at._step_impl(st, batch, jnp.float32(5), plan)
+            return st2, logs["loss"]
+
+        return jax.lax.scan(body, state, None, length=100)
+
+    run = jax.jit(chunk)
+    state, first = run(state, batch, plan)
+    for _ in range(2):
+        state, losses = run(state, batch, plan)
+    assert np.isfinite(np.asarray(losses)).all()
+    # PGD-AT converges against a moving target with an irreducible floor
+    # (the attacker can always displace points +-1 m = 2 voxel cells on this
+    # tiny grid), so demand steady learning, not collapse: measured 0.54x
+    # after 300 steps
+    assert float(np.mean(np.asarray(losses))) < 0.7 * float(
+        np.mean(np.asarray(first))
+    ), (float(np.mean(np.asarray(first))), float(np.mean(np.asarray(losses))))
