@@ -162,3 +162,77 @@ def test_pgd_adversarial_training():
     assert float(np.mean(np.asarray(losses))) < 0.7 * float(
         np.mean(np.asarray(first))
     ), (float(np.mean(np.asarray(first))), float(np.mean(np.asarray(losses))))
+
+
+def test_pgd_at_improves_robustness():
+    """The point of adversarial training, measured: a PGD-AT model must be
+    strictly more robust under the SAME PGD-10 attack than a clean-trained
+    model of identical architecture/budget. (The reference never tests this
+    — its scripts only measure attack effectiveness.) Heavy tier."""
+    import os
+    import pytest
+
+    if not os.environ.get("RPC_HEAVY_TESTS"):
+        pytest.skip("heavy tier (RPC_HEAVY_TESTS=1)")
+
+    from robustpointclouds_tpu.models.detection import anchor_head_loss
+
+    cfg = tiny_cfg(adversary=False)
+    cfg = cfg._replace(
+        head=cfg.head._replace(
+            pos_iou_thr=(0.25, 0.1, 0.1),
+            neg_iou_thr=(0.15, 0.05, 0.05),
+            min_pos_iou=(0.1, 0.05, 0.05),
+        )
+    )
+    rng = np.random.RandomState(5)
+    batch = as_jnp(separated_car_batch(rng))
+
+    def train(train_cfg, seed):
+        tr = Trainer(model_cfg=cfg, train_cfg=train_cfg)
+        st = tr.init_state(jax.random.PRNGKey(seed), batch)
+        builder = tr.make_plan_builder()
+        plan = builder(
+            np.asarray(batch.points), np.asarray(batch.points_mask),
+            np.asarray(batch.gt_boxes), np.asarray(batch.gt_labels),
+            np.asarray(batch.gt_mask),
+        )
+        plan = jax.tree_util.tree_map(jnp.asarray, plan)
+
+        def chunk(st, batch, plan):
+            def body(s, _):
+                s2, logs = tr._step_impl(s, batch, jnp.float32(5), plan)
+                return s2, logs["loss"]
+
+            return jax.lax.scan(body, st, None, length=100)
+
+        run = jax.jit(chunk)
+        for _ in range(5):
+            st, losses = run(st, batch, plan)
+        assert np.isfinite(np.asarray(losses)).all()
+        return tr, st, plan
+
+    clean_tr, clean_st, plan = train(TrainConfig(learning_rate=1e-4), 0)
+    at_tr, at_st, _ = train(TrainConfig(learning_rate=1e-4, pgd_steps=2), 0)
+
+    def det_loss(tr, st, pl):
+        outs = tr.forward_eval(st, batch, attack=False, plan=pl)
+        det = anchor_head_loss(
+            outs.cls_scores, outs.bbox_preds, outs.dir_preds,
+            tr.anchors, tr.anchor_cls,
+            batch.gt_boxes, batch.gt_labels, batch.gt_mask, cfg.head,
+        )
+        return float(det["loss_cls"] + det["loss_bbox"] + det["loss_dir"])
+
+    attack10 = make_plan_attack(clean_tr, steps=10)
+    clean_attacked = det_loss(
+        clean_tr, clean_st,
+        attack10(clean_st.params, clean_st.batch_stats, batch, plan),
+    )
+    at_attacked = det_loss(
+        at_tr, at_st,
+        attack10(at_st.params, at_st.batch_stats, batch, plan),
+    )
+    # the AT model must hold up materially better under its own white-box
+    # attack than the undefended model does under its
+    assert at_attacked < 0.7 * clean_attacked, (at_attacked, clean_attacked)
