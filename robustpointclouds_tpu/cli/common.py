@@ -153,6 +153,40 @@ def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
         yield item
 
 
+def tiny_voxelnet_cfg():
+    """Shrunken-grid smoke config shared by the CLIs' --tiny flags: real
+    SECOND channel widths on a 16 m grid (compiles in seconds on CPU)."""
+    from ..models import VoxelNetConfig
+    from ..ops.voxelize import VoxelizerConfig
+
+    return VoxelNetConfig(
+        voxelizer=VoxelizerConfig(
+            point_cloud_range=(0.0, -8.0, -3.0, 16.0, 8.0, 1.0),
+            voxel_size=(0.5, 0.5, 0.125), max_points_per_voxel=3,
+            max_voxels=512,
+        ),
+        anchor_ranges=tuple(
+            (0, -8.0, -0.6, 16.0, 8.0, -0.6) for _ in range(3)
+        ),
+    )
+
+
+_PLAN_POOLS: Dict[int, object] = {}
+
+
+def _shared_plan_pool(workers: int):
+    """Process-lifetime thread pool for per-device sub-plan builds: one pool
+    per size, reused across run_training calls so an exception out of a
+    training loop never strands a dead pool's worker threads (there is no
+    per-run shutdown to miss)."""
+    pool = _PLAN_POOLS.get(workers)
+    if pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = _PLAN_POOLS[workers] = ThreadPoolExecutor(max_workers=workers)
+    return pool
+
+
 def run_training(
     trainer: Trainer,
     epoch_loader: Callable[[int], Iterator[PointCloudBatch]],
@@ -237,10 +271,8 @@ def run_training(
     # host this degrades gracefully to sequential.
     plan_pool = None
     if plan_builder is not None and use_ddp:
-        from concurrent.futures import ThreadPoolExecutor
-
-        plan_pool = ThreadPoolExecutor(
-            max_workers=max(1, min(n_dev, (os.cpu_count() or 1)))
+        plan_pool = _shared_plan_pool(
+            max(1, min(n_dev, (os.cpu_count() or 1)))
         )
 
     def _with_plans(it):
@@ -450,8 +482,6 @@ def run_training(
         )
     history["wall_time_s"] = time.time() - t_start
     history["final_epoch"] = epoch
-    if plan_pool is not None:
-        plan_pool.shutdown(wait=False)
     return {"state": state, "history": history, "work_dir": work_dir}
 
 

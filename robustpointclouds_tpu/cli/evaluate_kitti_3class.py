@@ -59,15 +59,9 @@ def evaluate_checkpoint(work_dir, data_root, batch_size, synthetic, limit,
     model_cfg = VoxelNetConfig()
     num_points = 20000
     if tiny:
-        from ..ops.voxelize import VoxelizerConfig
+        from .common import tiny_voxelnet_cfg
 
-        model_cfg = model_cfg._replace(
-            voxelizer=VoxelizerConfig(
-                point_cloud_range=(0.0, -8.0, -3.0, 16.0, 8.0, 1.0),
-                voxel_size=(0.5, 0.5, 0.125), max_points_per_voxel=3, max_voxels=512,
-            ),
-            anchor_ranges=tuple((0, -8.0, -0.6, 16.0, 8.0, -0.6) for _ in range(3)),
-        )
+        model_cfg = tiny_voxelnet_cfg()
         num_points = 512
     trainer = Trainer(model_cfg=model_cfg, train_cfg=TrainConfig())
 

@@ -170,18 +170,9 @@ def main():
 
             trainer_cls = CenterPointTrainer
     elif args.tiny:
-        from ..ops.voxelize import VoxelizerConfig
+        from .common import tiny_voxelnet_cfg
 
-        model_cfg = VoxelNetConfig(
-            voxelizer=VoxelizerConfig(
-                point_cloud_range=(0.0, -8.0, -3.0, 16.0, 8.0, 1.0),
-                voxel_size=(0.5, 0.5, 0.125), max_points_per_voxel=3,
-                max_voxels=512,
-            ),
-            anchor_ranges=tuple(
-                (0, -8.0, -0.6, 16.0, 8.0, -0.6) for _ in range(3)
-            ),
-        )
+        model_cfg = tiny_voxelnet_cfg()
     else:
         model_cfg = VoxelNetConfig()
 
@@ -220,7 +211,14 @@ def main():
     elif args.work_dir:
         mgr = CheckpointManager(args.work_dir)
         if mgr.latest_epoch() is not None:
-            state = mgr.restore(state)
+            try:
+                state = mgr.restore(state)
+            except Exception as e:
+                raise RuntimeError(
+                    f"checkpoint in {args.work_dir!r} does not match the "
+                    "exported model (e.g. a --tiny smoke run wrote it); "
+                    f"point --work-dir at the right run: {e}"
+                ) from e
             restored = True
     if not restored and not args.allow_random_init:
         raise RuntimeError(

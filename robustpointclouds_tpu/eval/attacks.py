@@ -29,9 +29,10 @@ def make_plan_attack(trainer, steps: int = 10, rel_step: float = 2.5,
 
     `trainer` must be a plan-fed anchor-head Trainer (the SECOND flagship or
     the pillar family); the attack perturbs `plan["voxels"]` within the
-    per-feature attack clamp (spatial +-5*e, intensity 2.0 at e=0.2 — the
-    same envelope the learned attack's outputs are clamped to) and maximizes
-    the detection loss. Padding rows (point_mask False) stay untouched;
+    per-feature attack clamp (spatial +-25*e = 5.0 m and intensity 2.0 at
+    e=0.2: the reference's eval-mode double clamp, x5 overall then x5
+    spatial — the same envelope the learned attack's outputs are clamped
+    to) and maximizes the detection loss. Padding rows (point_mask False) stay untouched;
     features past the 4th (NuScenes timestamp) have clamp 0 by construction.
 
     rel_step: PGD step size as a multiple of the clamp over the whole run

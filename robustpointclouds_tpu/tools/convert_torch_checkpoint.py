@@ -345,6 +345,18 @@ def detect_state_dict_layout(sd: Dict[str, np.ndarray]) -> str:
     (adversarial-second_hv_secfpn_8xb6-80e_kitti-3d-3class.py:168).
     """
     if any(k.startswith("pts_") for k in sd):
+        if any(k.startswith("pts_voxel_encoder.pfn_layers.") for k in sd):
+            # pillar-variant CenterPoint (centerpoint_pillar02_*): its PFN
+            # has no converter target in the voxel-based AdversarialCenterPoint
+            # — converting the trunk while silently dropping the first layer
+            # would be exactly the partial warm start the zero-load guard
+            # exists to prevent
+            raise ValueError(
+                "pillar-variant CenterPoint checkpoints "
+                "(pts_voxel_encoder.pfn_layers.*) are not supported — this "
+                "framework's CenterPoint is the 01voxel sparse-encoder "
+                "variant the reference warm-starts from"
+            )
         return "centerpoint"
     if any(k.startswith("voxel_encoder.pfn_layers.") for k in sd):
         return "pointpillars"

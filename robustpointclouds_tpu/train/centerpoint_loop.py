@@ -89,6 +89,13 @@ class CenterPointTrainer:
     ):
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
+        if getattr(train_cfg, "pgd_steps", 0):
+            # fail loudly: silently training clean while the config asks for
+            # PGD-AT would produce a fake "robust" checkpoint
+            raise NotImplementedError(
+                "pgd_steps (PGD adversarial training) is implemented for the "
+                "anchor-head Trainer only; CenterPointTrainer does not run it"
+            )
         self.model = AdversarialCenterPoint(cfg=model_cfg)
         self.det_tx, self.adv_tx = make_optimizers(train_cfg)
         self._train_step = None

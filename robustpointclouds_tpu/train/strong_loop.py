@@ -53,6 +53,12 @@ class StrongTrainer:
     ):
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
+        if getattr(train_cfg, "pgd_steps", 0):
+            # fail loudly rather than silently training without PGD-AT
+            raise NotImplementedError(
+                "pgd_steps (PGD adversarial training) is implemented for the "
+                "anchor-head Trainer only; StrongTrainer does not run it"
+            )
         self.model = StrongAdversarialVoxelNet(cfg=model_cfg)
         anchors, anchor_cls = model_cfg.base.make_anchors()
         self.anchors = jnp.asarray(anchors)

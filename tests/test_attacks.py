@@ -236,3 +236,17 @@ def test_pgd_at_improves_robustness():
     # the AT model must hold up materially better under its own white-box
     # attack than the undefended model does under its
     assert at_attacked < 0.7 * clean_attacked, (at_attacked, clean_attacked)
+
+
+def test_pgd_steps_rejected_by_non_anchor_trainers():
+    """pgd_steps on a trainer family that does not implement PGD-AT must
+    fail loudly, not silently train clean."""
+    import pytest
+
+    from robustpointclouds_tpu.train.centerpoint_loop import CenterPointTrainer
+    from robustpointclouds_tpu.train.strong_loop import StrongTrainer
+
+    with pytest.raises(NotImplementedError, match="pgd"):
+        CenterPointTrainer(train_cfg=TrainConfig(pgd_steps=2))
+    with pytest.raises(NotImplementedError, match="pgd"):
+        StrongTrainer(train_cfg=TrainConfig(pgd_steps=2))

@@ -628,3 +628,12 @@ class TestLoadPretrainedDispatch:
         state = trainer.init_state(jax.random.PRNGKey(0), batch)
         with pytest.raises(ValueError, match="ZERO"):
             load_pretrained(state, str(path))
+
+
+def test_pillar_variant_centerpoint_rejected():
+    """centerpoint_pillar02_* checkpoints (pts_voxel_encoder.pfn_layers.*)
+    must hard-error, not silently drop the PFN under a converted trunk."""
+    sd = {"pts_voxel_encoder.pfn_layers.0.linear.weight": np.zeros((64, 10)),
+          "pts_backbone.blocks.0.0.weight": np.zeros((128, 256, 3, 3))}
+    with pytest.raises(ValueError, match="pillar-variant"):
+        cvt.detect_state_dict_layout(sd)
