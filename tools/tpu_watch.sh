@@ -44,6 +44,7 @@ run BENCH_noplan  5400  env BENCH_NO_PLAN=1 python bench.py
 run BENCH_r4_step 14400 python -m robustpointclouds_tpu.tools.bench_r4_step
 run BENCH_pillars 7200  python -m robustpointclouds_tpu.tools.bench_pointpillars
 run BENCH_centerpoint 7200 python -m robustpointclouds_tpu.tools.bench_centerpoint
+run BENCH_inference 7200 python -m robustpointclouds_tpu.tools.bench_inference
 
 rm -f "$OUT/TPU_BENCH_RUNNING"
 echo "bench suite done $(date -u +%FT%TZ)" >> "$LOG"
