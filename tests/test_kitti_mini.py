@@ -115,3 +115,52 @@ def test_generator_is_reproducible(tmp_path):
         with open(os.path.join(str(tmp_path / "kitti_mini"), rel), "rb") as f:
             regenerated = f.read()
         assert committed == regenerated, rel
+
+
+def test_create_dbinfos_roundtrip(tmp_path):
+    """tools/create_kitti_dbinfos on the raw mini fixture -> the pickle +
+    crop database load back through GroundTruthDatabase.from_dbinfos with
+    absolute coordinates identical to direct in-box crops."""
+    import numpy as np
+
+    from robustpointclouds_tpu.data.kitti import KittiDataset
+    from robustpointclouds_tpu.data.transforms import (
+        GroundTruthDatabase, points_in_box,
+    )
+    from robustpointclouds_tpu.tools.create_kitti_dbinfos import create_dbinfos
+
+    root = FIXTURE
+    infos = create_dbinfos(root, split="train", out_dir=str(tmp_path),
+                           min_points=1)
+    total = sum(len(v) for v in infos.values())
+    assert total > 0
+    # every entry's crop reconstructs the direct in-box crop bit-exactly
+    ds = KittiDataset(root, split="train")
+    frames = {ds.ids[i]: ds.get(i) for i in range(len(ds))}
+    checked = 0
+    for name, entries in infos.items():
+        for e in entries:
+            s = frames[e["image_idx"]]
+            box = s["gt_boxes"][e["gt_idx"]]
+            want = s["points"][points_in_box(s["points"], box)]
+            got = np.fromfile(
+                str(tmp_path / e["path"]), np.float32
+            ).reshape(-1, 4).copy()
+            got[:, :3] += [box[0], box[1], box[2] - box[5] / 2.0]
+            np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+            assert e["num_points_in_gt"] == len(want)
+            checked += 1
+    assert checked == total
+
+    db = GroundTruthDatabase.from_dbinfos(
+        str(tmp_path / "kitti_dbinfos_train.pkl"), str(tmp_path),
+        min_points=1,
+    )
+    pools = {c: len(v) for c, v in db._db.items()}
+    assert sum(pools.values()) == total, (pools, total)
+    # and the seeded database actually pastes into a fresh scene
+    rng = np.random.RandomState(0)
+    s0 = dict(frames[ds.ids[0]])
+    before = len(s0["gt_boxes"])
+    out = db.paste(s0, rng)
+    assert len(out["gt_boxes"]) >= before
