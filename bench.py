@@ -77,16 +77,16 @@ def main():
 
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
 
-    # Production input pipeline: the sparse plan (voxelization + every encoder
-    # index — all the structure sorts) is a pure function of the input points,
-    # built by the loader on the CPU backend while the device runs the
-    # previous step. The device step is then sort-free. Honesty terms, both
-    # reported: host_plan_ms (must stay under the step time for the overlap
-    # to be free — it is, by a wide margin, and the loader uses worker
-    # threads anyway) and the plan's H2D bytes (async prefetch transfer in
-    # steady state, like any input batch). BENCH_NO_PLAN=1 measures the old
-    # everything-on-device step for comparison.
-    use_plan = os.environ.get("BENCH_NO_PLAN", "0") != "1"
+    # Round-4 TPU measurement (work_dirs/BENCH_plan.out vs BENCH_noplan.out,
+    # 2026-08-19, v5e via axon): the host-plan schedule LOSES on the real
+    # chip — the plan-fed step inside lax.scan runs ~12-15 s/step vs 361 ms
+    # inline, with an IDENTICAL XLA flop estimate (pathology is in the
+    # while-loop form; diagnosis in tools/bench_plan_diag.py and PARITY.md).
+    # The inline everything-on-device step is therefore the default again;
+    # BENCH_PLAN=1 opts into the host-plan schedule and reports its honesty
+    # terms (host_plan_ms, plan H2D, per-dispatch fresh-plan rate).
+    use_plan = (os.environ.get("BENCH_PLAN", "0") == "1"
+                and os.environ.get("BENCH_NO_PLAN", "0") != "1")
     plan = None
     host_plan_ms = None
     plan_bytes = None
