@@ -143,21 +143,39 @@ def main():
     timed_scan("inline_scan", make_scan(False), None, analyze="inline")
     timed_scan("plan_scan", make_scan(True), plan, analyze="plan")
 
-    # plan resident on device, per-step dispatch (no H2D in the loop)
+    # Per-step dispatch for BOTH modes (plan resident — no H2D in the loop).
+    # Real training is per-dispatch, so this pair is the production-relevant
+    # comparison; both pay the same ~0.17 s tunnel RPC per step, so the
+    # DIFFERENCE is pure device time.
     step1 = jax.jit(trainer._step_impl)
-    st = state0
-    st, logs = step1(st, batch, jnp.float32(5), plan)
-    jax.block_until_ready(logs["loss"])
-    t0 = time.time()
-    for _ in range(iters):
-        st, logs = step1(st, batch, jnp.float32(5), plan)
-    jax.block_until_ready((st.params, logs["loss"]))
-    results["plan_dispatch"] = {"step_ms": round(1e3 * (time.time() - t0) / iters, 1)}
-    print(json.dumps({"plan_dispatch": results["plan_dispatch"]}), flush=True)
+    for name, pl in (("plan_dispatch", plan), ("inline_dispatch", None)):
+        st = state0
+        st, logs = step1(st, batch, jnp.float32(5), pl)
+        jax.block_until_ready(logs["loss"])
+        t0 = time.time()
+        for _ in range(iters):
+            st, logs = step1(st, batch, jnp.float32(5), pl)
+        jax.block_until_ready((st.params, logs["loss"]))
+        results[name] = {"step_ms": round(1e3 * (time.time() - t0) / iters, 1)}
+        print(json.dumps({name: results[name]}), flush=True)
 
     timed_scan("plan_scan_nopert", make_scan(True, perturb=False), plan)
     timed_scan("plan_scan_unroll", make_scan(True, unroll=iters), plan)
     timed_scan("plan_scan_nodonate", make_scan(True), plan, donate=False)
+
+    # Per-op attribution: one traced execution of each scan form. Parse with
+    # tools/parse_xplane.py (tensorboard_plugin_profile is installed here).
+    if os.environ.get("DIAG_PROFILE", "1") == "1":
+        for name, use_plan in (("plan", True), ("inline", False)):
+            run = jax.jit(make_scan(use_plan))
+            pl = plan if use_plan else None
+            st2, losses = run(state0, batch, pl)  # warm (cache hit)
+            jax.block_until_ready(losses)
+            tdir = os.path.join(here, "work_dirs", f"diag_trace_{name}")
+            with jax.profiler.trace(tdir):
+                st2, losses = run(state0, batch, pl)
+                jax.block_until_ready(losses)
+            print(json.dumps({"trace": tdir}), flush=True)
 
     print(json.dumps({"all": results}))
 
