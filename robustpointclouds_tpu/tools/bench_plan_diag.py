@@ -20,6 +20,11 @@ process (compile-cache friendly):
                      threaded/copied through the loop state) is the problem
   plan_scan_nodonate same as repro without donate_argnums: donation/aliasing
                      interaction probe
+  plan_scan_xs       K FRESH plans stacked on a leading axis, passed as the
+                     scan's xs so each iteration slices its own plan — the
+                     true steady-state schedule (prefetch K plans, consume
+                     one per step) with NO loop-invariant plan operand at
+                     all. If fast, this is the production bench form.
 
 For inline_scan/plan_scan it also records XLA cost_analysis (flops, bytes
 accessed) and memory_analysis (temp/argument bytes — spilling shows up here)
@@ -162,6 +167,37 @@ def main():
     timed_scan("plan_scan_nopert", make_scan(True, perturb=False), plan)
     timed_scan("plan_scan_unroll", make_scan(True, unroll=iters), plan)
     timed_scan("plan_scan_nodonate", make_scan(True), plan, donate=False)
+
+    # Steady-state schedule: K fresh plans stacked on a leading axis, passed
+    # as the scan's xs — each iteration consumes its OWN plan slice, so there
+    # is no loop-invariant plan operand for the while loop to mishandle. The
+    # index arrays are identical across the stack (same points) but XLA
+    # cannot know that; features differ per slice like a real loader's would.
+    def stack_k(k):
+        return jax.tree_util.tree_map(
+            lambda x: np.stack(
+                [np.asarray(x) * (1 + 1e-7 * i) if np.issubdtype(
+                    np.asarray(x).dtype, np.floating) else np.asarray(x)
+                 for i in range(k)]),
+            plan_cpu)
+
+    plans_xs = jax.device_put(stack_k(iters), jax.devices()[0])
+
+    def scan_xs(state, batch, plans):
+        def body(carry, pl):
+            st, eps = carry
+            b = batch._replace(points=batch.points + eps * 1e-30)
+            st2, logs = trainer._step_impl(st, b, jnp.float32(5), pl)
+            return (st2, logs["loss"]), logs["loss"]
+
+        (st, _), losses = jax.lax.scan(body, (state, jnp.float32(0)), plans)
+        return st, losses
+
+    try:
+        timed_scan("plan_scan_xs", scan_xs, plans_xs, analyze="plan_xs")
+    except Exception as e:  # must not lose the profile capture below
+        results["plan_scan_xs"] = {"error": repr(e)}
+        print(json.dumps({"plan_scan_xs": results["plan_scan_xs"]}), flush=True)
 
     # Per-op attribution: one traced execution of each scan form. Parse with
     # tools/parse_xplane.py (tensorboard_plugin_profile is installed here).
