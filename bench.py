@@ -110,44 +110,57 @@ def main():
 
     # Sustained training rate: ITERS full train steps inside ONE jit (scan),
     # params/opt-state carried and updated every iteration. The batch points
-    # (and, in plan mode, the plan's voxel features) are perturbed by a
-    # carry-dependent epsilon each step so per-step work CANNOT be hoisted as
-    # loop-invariant — every iteration does the full work a fresh batch
-    # would. (In plan mode the indices themselves are loop-invariant BY
-    # DESIGN — that work moved to the host; indices alone feed no on-device
-    # compute, every consumer also takes features.) Per-dispatch timing is
-    # wrong in both directions here: the axon tunnel serializes dispatches
-    # (~0.17 s/step of pure RPC latency that a real host never sees), while
-    # real pipelined training keeps state on device and blocks only on logs.
+    # are perturbed by a carry-dependent epsilon each step so per-step work
+    # CANNOT be hoisted as loop-invariant — every iteration does the full
+    # work a fresh batch would. Per-dispatch timing is wrong in both
+    # directions here: the axon tunnel serializes dispatches (~0.17 s/step of
+    # pure RPC latency that a real host never sees), while real pipelined
+    # training keeps state on device and blocks only on logs.
+    #
+    # Plan mode times the STEADY-STATE schedule: ITERS fresh plans stacked on
+    # a leading axis, consumed one per scan step via xs (floats perturbed per
+    # slice like a real loader's would be). A loop-INVARIANT plan operand is
+    # deliberately avoided — measured while-loop pathology on v5e: the
+    # plan-as-carry scan ran 12-26 s/step vs 366 ms inline with an identical
+    # flop estimate (diagnosis: tools/bench_plan_diag.py, PARITY.md).
     iters = 10
 
-    def scan_steps(state, batch, plan):
-        def body(carry, _):
+    plans_xs = None
+    if use_plan:
+        plans_xs = jax.device_put(
+            jax.tree_util.tree_map(
+                lambda x: np.stack(
+                    [np.asarray(x) * (1 + 1e-7 * i)
+                     if np.issubdtype(np.asarray(x).dtype, np.floating)
+                     else np.asarray(x) for i in range(iters)]),
+                plan_cpu),
+            jax.devices()[0])
+
+    def scan_steps(state, batch, plans):
+        def body(carry, pl):
             st, eps = carry
             b = batch._replace(points=batch.points + eps * 1e-30)
-            pl = None if plan is None else dict(
-                plan, voxels=plan["voxels"] + eps * 1e-30
-            )
             st2, logs = trainer._step_impl(st, b, jnp.float32(5), pl)
             return (st2, logs["loss"]), logs["loss"]
 
-        (st, _), losses = jax.lax.scan(body, (state, jnp.float32(0)), None, length=iters)
+        (st, _), losses = jax.lax.scan(
+            body, (state, jnp.float32(0)), plans, length=iters)
         return st, losses
 
     run = jax.jit(scan_steps, donate_argnums=(0,))
     # XLA's own FLOP estimate for the compiled module -> auditable MFU
     flops_per_step = None
     try:
-        cost = run.lower(state, batch, plan).compile().cost_analysis()
+        cost = run.lower(state, batch, plans_xs).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_step = float(cost.get("flops", 0.0)) / iters
     except Exception:
         pass
-    state2, losses = run(state, batch, plan)
+    state2, losses = run(state, batch, plans_xs)
     jax.block_until_ready(losses)  # warmup/compile
     t0 = time.time()
-    state3, losses = run(state2, batch, plan)
+    state3, losses = run(state2, batch, plans_xs)
     jax.block_until_ready((state3.params, losses))
     dt = time.time() - t0
     losses = [float(l) for l in np.asarray(losses)]
