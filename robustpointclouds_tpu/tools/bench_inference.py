@@ -53,7 +53,7 @@ def measure(batch_size, plan_mode, iters=10):
     batch = PointCloudBatch(*(jnp.asarray(x) for x in batch_np))
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
 
-    plan = None
+    plans = None
     host_ms = None
     if plan_mode:
         builder = HostPlanBuilder(model_cfg)
@@ -63,9 +63,18 @@ def measure(batch_size, plan_mode, iters=10):
         plan_cpu = builder(batch_np.points, batch_np.points_mask)
         jax.block_until_ready(plan_cpu)
         host_ms = round((time.time() - t0) * 1000, 1)
-        plan = jax.device_put(plan_cpu, jax.devices()[0])
+        # steady-state xs form: one fresh plan per scan step (see bench.py —
+        # a loop-INVARIANT plan operand measured 12-26 s/step on v5e)
+        plans = jax.device_put(
+            jax.tree_util.tree_map(
+                lambda x: np.stack(
+                    [np.asarray(x) * (1 + 1e-7 * i)
+                     if np.issubdtype(np.asarray(x).dtype, np.floating)
+                     else np.asarray(x) for i in range(iters)]),
+                plan_cpu),
+            jax.devices()[0])
 
-    def predict_scan(params, batch_stats, batch, plan):
+    def predict_scan(params, batch_stats, batch, plans):
         def one(pts, pl):
             outs = trainer.model.apply(
                 {"params": params, "batch_stats": batch_stats},
@@ -76,23 +85,20 @@ def measure(batch_size, plan_mode, iters=10):
                 trainer.anchors, model_cfg.head,
             )
 
-        def body(carry, _):
+        def body(carry, pl):
             eps = carry
-            pl = None if plan is None else dict(
-                plan, voxels=plan["voxels"] + eps * 1e-30
-            )
             boxes, scores, labels, mask = one(batch.points + eps * 1e-30, pl)
             return jnp.max(scores), jnp.sum(mask)
 
         eps0 = jnp.float32(0.0)
-        _, counts = jax.lax.scan(body, eps0, None, length=iters)
+        _, counts = jax.lax.scan(body, eps0, plans, length=iters)
         return counts
 
     run = jax.jit(predict_scan)
-    counts = run(state.params, state.batch_stats, batch, plan)
+    counts = run(state.params, state.batch_stats, batch, plans)
     jax.block_until_ready(counts)  # compile + warmup
     t0 = time.time()
-    counts = run(state.params, state.batch_stats, batch, plan)
+    counts = run(state.params, state.batch_stats, batch, plans)
     jax.block_until_ready(counts)
     dt = time.time() - t0
     r = {

@@ -75,7 +75,7 @@ def main():
 
     # production input pipeline (host plan: voxelize + BEV grid + dense map
     # + assign); BENCH_NO_PLAN=1 measures the everything-on-device step
-    plan = None
+    plan_cpu = None
     host_ms = None
     if os.environ.get("BENCH_NO_PLAN", "0") != "1":
         builder = trainer.make_plan_builder()
@@ -87,36 +87,46 @@ def main():
         plan_cpu = builder(*args)
         jax.block_until_ready(plan_cpu)
         host_ms = round((time.time() - t0) * 1000, 1)
-        plan = jax.device_put(plan_cpu, jax.devices()[0])
 
     iters = 10
 
-    def scan_steps(state, batch, plan):
-        def body(carry, _):
+    # steady-state xs form: one fresh plan per scan step (see bench.py — a
+    # loop-INVARIANT plan operand measured 12-26 s/step on v5e)
+    plans = None
+    if plan_cpu is not None:
+        plans = jax.device_put(
+            jax.tree_util.tree_map(
+                lambda x: np.stack(
+                    [np.asarray(x) * (1 + 1e-7 * i)
+                     if np.issubdtype(np.asarray(x).dtype, np.floating)
+                     else np.asarray(x) for i in range(iters)]),
+                plan_cpu),
+            jax.devices()[0])
+
+    def scan_steps(state, batch, plans):
+        def body(carry, pl):
             st, eps = carry
             b = batch._replace(points=batch.points + eps * 1e-30)
-            pl = None if plan is None else dict(
-                plan, voxels=plan["voxels"] + eps * 1e-30
-            )
             st2, logs = trainer._step_impl(st, b, jnp.float32(5), pl)
             return (st2, logs["loss"]), logs["loss"]
 
-        (st, _), losses = jax.lax.scan(body, (state, jnp.float32(0)), None, length=iters)
+        (st, _), losses = jax.lax.scan(
+            body, (state, jnp.float32(0)), plans, length=iters)
         return st, losses
 
     run = jax.jit(scan_steps, donate_argnums=(0,))
     flops_per_step = None
     try:
-        cost = run.lower(state, batch, plan).compile().cost_analysis()
+        cost = run.lower(state, batch, plans).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_step = float(cost.get("flops", 0.0)) / iters
     except Exception:
         pass
-    state2, losses = run(state, batch, plan)
+    state2, losses = run(state, batch, plans)
     jax.block_until_ready(losses)
     t0 = time.time()
-    state3, losses = run(state2, batch, plan)
+    state3, losses = run(state2, batch, plans)
     jax.block_until_ready((state3.params, losses))
     dt = time.time() - t0
     assert np.isfinite(np.asarray(losses)).all()
