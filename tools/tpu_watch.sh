@@ -1,14 +1,14 @@
 #!/bin/bash
 # Round-4 TPU watch loop (CLAUDE.md pattern): retry jax.devices() until the
-# axon tunnel initializes, then immediately run the full measurement suite
-# from the pinned bench worktree (.bench_wt @ the round-3 HEAD) so in-flight
-# round-4 edits cannot perturb the measurement. Results land in work_dirs/.
+# axon tunnel initializes, then run the session-3 measurement suite
+# (tools/run_bench_suite3.sh) from the repo HEAD. Results land in work_dirs/.
 #
 # Lock protocol: work_dirs/TPU_BENCH_RUNNING exists while the suite runs —
-# do not start other compile-heavy processes (1-core host).
+# do not start other compile-heavy processes (1-core host). If the lock
+# already exists when the probe succeeds, another runner owns the suite —
+# this loop just exits.
 set -u
 cd /root/repo
-WT=/root/repo/.bench_wt
 OUT=/root/repo/work_dirs
 LOG=$OUT/tpu_watch.log
 mkdir -p "$OUT"
@@ -28,23 +28,9 @@ EOF
   sleep 240
 done
 
-echo "TPU UP $(date -u +%FT%TZ) - running bench suite from $WT" >> "$LOG"
-touch "$OUT/TPU_BENCH_RUNNING"
-cd "$WT"
-
-run() {
-  local name=$1 tmo=$2; shift 2
-  echo "== $name start $(date -u +%FT%TZ)" >> "$LOG"
-  timeout "$tmo" "$@" > "$OUT/$name.out" 2> "$OUT/$name.err"
-  echo "== $name rc=$? end $(date -u +%FT%TZ)" >> "$LOG"
-}
-
-run BENCH_plan    5400  python bench.py
-run BENCH_noplan  5400  env BENCH_NO_PLAN=1 python bench.py
-run BENCH_r4_step 14400 python -m robustpointclouds_tpu.tools.bench_r4_step
-run BENCH_pillars 7200  python -m robustpointclouds_tpu.tools.bench_pointpillars
-run BENCH_centerpoint 7200 python -m robustpointclouds_tpu.tools.bench_centerpoint
-run BENCH_inference 7200 python -m robustpointclouds_tpu.tools.bench_inference
-
-rm -f "$OUT/TPU_BENCH_RUNNING"
-echo "bench suite done $(date -u +%FT%TZ)" >> "$LOG"
+if [ -e "$OUT/TPU_BENCH_RUNNING" ]; then
+  echo "TPU UP $(date -u +%FT%TZ) but suite lock held - exiting" >> "$LOG"
+  exit 0
+fi
+echo "TPU UP $(date -u +%FT%TZ) - running tools/run_bench_suite3.sh" >> "$LOG"
+bash /root/repo/tools/run_bench_suite3.sh
