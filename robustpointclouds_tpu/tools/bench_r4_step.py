@@ -154,29 +154,27 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     print("backend:", jax.default_backend(), flush=True)
 
-    variants = [
-        # (B, plan, save_col, dw_gcol) [+ kwargs]        # what it isolates
-        dict(batch_size=6, plan_mode=False, save_col=False, dw_gcol=False),  # round-2/3 repro
-        dict(batch_size=6, plan_mode=True, save_col=False, dw_gcol=False,
-             assign=False),                                        # plan, indices only
-        dict(batch_size=6, plan_mode=True, save_col=False, dw_gcol=False),  # + host assign
-        dict(batch_size=6, plan_mode=True, save_col=True, dw_gcol=False),   # + saved col
-        dict(batch_size=6, plan_mode=True, save_col=False, dw_gcol=True),   # + dW g-col
-        dict(batch_size=6, plan_mode=True, save_col=True, dw_gcol=False,
-             xwin_max_cin=64, xwin_split=32),                      # 64ch on split xwin
-        dict(batch_size=6, plan_mode=True, save_col=False, dw_gcol=False,
-             dense_gather=True),                                   # gather-form densify
-        dict(batch_size=6, plan_mode=True, save_col=False, dw_gcol=False,
-             fpn_d2s=True),                                        # FPN deconv as d2s
-        # batch scaling under plans: the device never sorts, so the round-2
-        # 2^30 packed-sort cliff cannot apply — B is bounded only by int32
-        # ids (B <= 23 at the KITTI grid) and HBM
-        dict(batch_size=12, plan_mode=True, save_col=False, dw_gcol=False),
-        dict(batch_size=16, plan_mode=True, save_col=False, dw_gcol=False),
-    ]
+    # Round-4 session-4 revision. The first on-chip suite (work_dirs/
+    # BENCH_plan_xs.out, 2026-08-19) showed EVERY lax.scan form of the
+    # plan-fed step is pathological on v5e — the xs form that this sweep was
+    # written for runs 11.3 s/step vs 361 ms inline — so the plan-schedule
+    # lever sweep above would measure ±50 ms levers inside an 11 s step:
+    # pure noise. (The inline-schedule lever verdicts were already measured
+    # on-chip in round 3 — bench_r3_step, PARITY.md attribution table — and
+    # remain valid for the inline production default.) Replaced with the
+    # decision-relevant set:
+    #   1. bench_plan_diag — per-dispatch device time of the sort-free step
+    #      (the plan's real win, never isolated on-chip), pathology probes
+    #      (unroll / donate / perturb / xs), HLO + trace dumps for offline
+    #      per-op attribution of the inline step.
+    #   2. inline B=12/16 — the wide-sort batch path under the current code.
+    from robustpointclouds_tpu.tools import bench_plan_diag
+
+    bench_plan_diag.main()
     results = []
-    for v in variants:
-        r = measure(**v)
+    for b in (12, 16):
+        r = measure(batch_size=b, plan_mode=False, save_col=False,
+                    dw_gcol=False)
         results.append(r)
         print(json.dumps(r), flush=True)
     print(json.dumps({"all": results}))
