@@ -21,6 +21,7 @@ from ..models.centerpoint import (
     CenterPointConfig,
     centerpoint_adversary_terms,
 )
+from .hooks import device_nan_ladder
 from .loop import (
     CpuBoundBuilder,
     TrainConfig,
@@ -159,11 +160,31 @@ class CenterPointTrainer:
     def _grads(self, state: TrainState, batch: PointCloudBatch, gt_vel, epoch,
                plan=None):
         """Gradient half (split from :meth:`_apply` so the shard_map'd DDP
-        step can pmean between the two — same structure as train/loop.py)."""
-        return jax.grad(self._loss_fn, has_aux=True)(
+        step can pmean between the two — same structure as train/loop.py).
+
+        Grads are sanitized BEFORE the optimizers exactly like the flagship
+        Trainer (train/loop.py): zeroing the loss scalar does not stop
+        NaN/Inf gradients, and one non-finite leaf would poison
+        clip_by_global_norm and Adam's moments permanently — the first
+        on-chip CenterPoint bench (work_dirs/BENCH_centerpoint.err,
+        2026-08-19) hit exactly this cascade. The reference's
+        NaNDetectionHook recovers and continues (custom_hook.py:113-116);
+        a non-finite gradient anywhere counts as a NaN step for the ladder.
+        """
+        grads, (new_stats, logs, is_nan) = jax.grad(
+            self._loss_fn, has_aux=True
+        )(
             state.params, state.batch_stats, batch, gt_vel, epoch,
             state.adversary_enabled, plan,
         )
+        grads_finite = jax.tree_util.tree_reduce(
+            lambda acc, g: acc & jnp.all(jnp.isfinite(g)), grads, jnp.bool_(True)
+        )
+        is_nan = is_nan | ~grads_finite
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
+        )
+        return grads, (new_stats, logs, is_nan)
 
     def _apply(self, state: TrainState, grads, new_stats, logs, is_nan):
         adv_mask = split_adversary_mask(state.params)
@@ -172,10 +193,20 @@ class CenterPointTrainer:
         updates = jax.tree_util.tree_map(
             lambda m, d, a: jnp.where(m, a, d), adv_mask, det_up, adv_up
         )
+        # a NaN forward also taints BN running stats — keep the old ones
+        # (same recover-and-continue semantics as train/loop.py:_apply)
+        new_stats = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(is_nan, o, n), new_stats, state.batch_stats
+        )
         scale = state.lr_scale * (1.0 - is_nan.astype(jnp.float32))
-        updates = jax.tree_util.tree_map(lambda u: u * scale, updates)
+        updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(jnp.isfinite(u), u * scale, 0.0), updates
+        )
         new_params = optax.apply_updates(state.params, updates)
         nan_i = is_nan.astype(jnp.int32)
+        new_total, new_lr_scale, new_enabled = device_nan_ladder(
+            state.nan_count, nan_i, state.lr_scale, state.adversary_enabled
+        )
         return (
             TrainState(
                 params=new_params,
@@ -183,10 +214,10 @@ class CenterPointTrainer:
                 opt_state_det=new_det,
                 opt_state_adv=new_adv,
                 step=state.step + 1,
-                nan_count=state.nan_count + nan_i,
+                nan_count=new_total,
                 consecutive_nan=(state.consecutive_nan + nan_i) * nan_i,
-                lr_scale=state.lr_scale,
-                adversary_enabled=state.adversary_enabled,
+                lr_scale=new_lr_scale,
+                adversary_enabled=new_enabled,
             ),
             logs,
         )
