@@ -77,7 +77,7 @@ def main():
             "is_nan_flag": bool(is_nan),
             "top_grad_mag": [[k, round(v, 3)] for v, k in top],
         }), flush=True)
-        state, _ = step_j(state, batch, jnp.float32(5))
+        state, _ = step_j(state, batch, gt_vel, jnp.float32(5))
     print(json.dumps({"done": steps}))
 
 
