@@ -193,8 +193,12 @@ def centerpoint_loss(
     for t, pred in enumerate(preds):
         tgt = targets[t]
         num_pos = jnp.maximum(jnp.sum(tgt["mask"]), 1.0)
-        hm_pred = jax.nn.sigmoid(pred["heatmap"])
-        l_hm = loss_ops.gaussian_focal_loss(hm_pred, tgt["heatmap"], avg_factor=num_pos)
+        # logit-space focal loss: saturation-proof (the clipped-probability
+        # form NaN'd on chip once a heatmap logit crossed sigmoid saturation
+        # — see ops/losses.gaussian_focal_loss_logits)
+        l_hm = loss_ops.gaussian_focal_loss_logits(
+            pred["heatmap"], tgt["heatmap"], avg_factor=num_pos
+        )
 
         # gather dense regression maps at the positive cells
         reg_map = jnp.concatenate(

@@ -101,13 +101,16 @@ class CenterHead(nn.Module):
                                   name=f"task{t}_adapt_reg")(x, train)
             else:
                 x_cls = x_reg = x
+            # f32 at the head/loss boundary (same invariant as the flagship
+            # AnchorHead, nn/anchor_head.py:49-54): conv compute may be bf16
+            # but losses, sigmoid/exp/arctan2 decode, and box geometry are f32
             task_out = {}
             task_out["heatmap"] = _SeparateHead(
                 len(classes), bias_init=-4.595, name=f"task{t}_heatmap"
-            )(x_cls, train)
+            )(x_cls, train).astype(jnp.float32)
             for head_name, dim in self.common_heads:
                 task_out[head_name] = _SeparateHead(
                     dim, name=f"task{t}_{head_name}"
-                )(x_reg, train)
+                )(x_reg, train).astype(jnp.float32)
             outs.append(task_out)
         return tuple(outs)

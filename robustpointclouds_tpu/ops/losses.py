@@ -88,11 +88,40 @@ def gaussian_focal_loss(
         gaussian_target: [...] gaussian-splatted targets; exactly-1.0 marks
             positive centers.
     """
-    pred = jnp.clip(pred, _EPS, 1.0 - _EPS)
+    # NOTE: 1 - 1e-8 rounds to exactly 1.0 in float32, so the upper clip must
+    # be wider than _EPS or log(1 - pred) still hits log(0) at saturation —
+    # the first on-chip CenterPoint bench NaN'd through exactly this (v5e,
+    # 2026-08-19). Prefer gaussian_focal_loss_logits for new call sites.
+    pred = jnp.clip(pred, _EPS, 1.0 - 1e-6)
     pos_w = (gaussian_target == 1.0).astype(pred.dtype)
     neg_w = (1.0 - gaussian_target) ** gamma
     pos_loss = -jnp.log(pred) * ((1.0 - pred) ** alpha) * pos_w
     neg_loss = -jnp.log(1.0 - pred) * (pred**alpha) * neg_w * (1.0 - pos_w)
+    return (jnp.sum(pos_loss) + jnp.sum(neg_loss)) / jnp.maximum(avg_factor, 1.0)
+
+
+def gaussian_focal_loss_logits(
+    logits: jnp.ndarray,
+    gaussian_target: jnp.ndarray,
+    alpha: float = 2.0,
+    gamma: float = 4.0,
+    avg_factor: jnp.ndarray | float = 1.0,
+) -> jnp.ndarray:
+    """Logit-space gaussian focal loss — saturation-proof form.
+
+    Mathematically identical to ``gaussian_focal_loss(sigmoid(logits), ...)``
+    but computes log(pred) = log_sigmoid(x) and log(1-pred) = log_sigmoid(-x)
+    directly, so neither the value nor the gradient can become non-finite at
+    any logit magnitude (sigmoid saturates to exactly 0/1 in f32 around
+    |x|>17 and in bf16 around |x|>6; the clipped-probability form then takes
+    log(0) and its VJP produces inf*0 = NaN).
+    """
+    logits = logits.astype(jnp.float32)
+    pred = jax.nn.sigmoid(logits)
+    pos_w = (gaussian_target == 1.0).astype(jnp.float32)
+    neg_w = (1.0 - gaussian_target) ** gamma
+    pos_loss = -jax.nn.log_sigmoid(logits) * ((1.0 - pred) ** alpha) * pos_w
+    neg_loss = -jax.nn.log_sigmoid(-logits) * (pred**alpha) * neg_w * (1.0 - pos_w)
     return (jnp.sum(pos_loss) + jnp.sum(neg_loss)) / jnp.maximum(avg_factor, 1.0)
 
 

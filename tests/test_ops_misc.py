@@ -104,6 +104,36 @@ class TestLosses:
         val = losses.gaussian_focal_loss(pred, target, avg_factor=1.0)
         assert np.isfinite(float(val)) and float(val) > 0
 
+    def test_gaussian_focal_logits_matches_prob_form(self):
+        logits = jnp.array([[2.0, -1.5, 0.3]])
+        target = jnp.array([[1.0, 0.0, 0.4]])
+        a = losses.gaussian_focal_loss_logits(logits, target, avg_factor=2.0)
+        b = losses.gaussian_focal_loss(
+            jax.nn.sigmoid(logits), target, avg_factor=2.0
+        )
+        assert float(a) == pytest.approx(float(b), rel=1e-5)
+
+    def test_gaussian_focal_logits_saturation_proof(self):
+        """The on-chip CenterPoint NaN (v5e 2026-08-19): saturated heatmap
+        logits make sigmoid exactly 0/1 and the prob-form loss (or its VJP)
+        non-finite. The logit form must stay finite — value AND grad — at any
+        magnitude, including a bf16 upstream cast."""
+        target = jnp.array([[1.0, 0.0, 0.0, 1.0]])
+
+        def f(x):
+            return losses.gaussian_focal_loss_logits(x, target, avg_factor=1.0)
+
+        for mag in (30.0, 90.0):
+            logits = jnp.array([[mag, mag, -mag, -mag]])
+            val, grad = jax.value_and_grad(f)(logits)
+            assert np.isfinite(float(val))
+            assert np.isfinite(np.asarray(grad)).all()
+        # bf16 logits (the head's compute dtype) round-trip without NaN too
+        logits = jnp.array([[8.0, 8.0, -8.0, -8.0]], jnp.bfloat16)
+        val, grad = jax.value_and_grad(lambda x: f(x.astype(jnp.float32)))(logits)
+        assert np.isfinite(float(val))
+        assert np.isfinite(np.asarray(grad, np.float32)).all()
+
 
 class TestNMS:
     def test_rotated_suppression(self):
