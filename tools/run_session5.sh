@@ -1,10 +1,12 @@
 #!/bin/bash
-# Round-4 session-5 on-chip queue: runs AFTER tools/run_plan_bisect.sh
-# (waits for its pid to exit), then in decision-value order:
-#   1. CenterPoint NaN diagnosis (adv on, then adv off) — correctness first
-#   2. lever sweep (one lean process per variant, tools/run_lever_sweep.sh)
-#   3. inference bench re-run (the suite3 record died mid-run)
-# Sequential by design: 1-core host + exclusive TPU.
+# Round-4 session-5 on-chip queue (v2): runs AFTER tools/run_plan_bisect.sh
+# (waits for its pid to exit), then:
+#   1. CenterPoint NaN diag — now validates the logit-focal/f32-head fix
+#      (commit 76d4dc8) on chip: 20 per-dispatch steps, expect 0 non-finite
+#   2. bench_centerpoint — the throughput record that NaN'd in suite3
+#   3. bench_inference re-run (the suite3 record died mid-run)
+# The lever sweep is NOT chained here: its form is decided by the bisect's
+# predisp verdict (see tools/run_lever_sweep.sh header).
 set -u
 cd /root/repo
 OUT=/root/repo/work_dirs
@@ -27,13 +29,9 @@ run() {
   tail -c 2000 "$OUT/$name.out" >> "$LOG"
 }
 
-run DIAG_cp_nan       3600 python -m robustpointclouds_tpu.tools.diag_centerpoint_nan
-run DIAG_cp_nan_noadv 3600 env DIAG_NOADV=1 python -m robustpointclouds_tpu.tools.diag_centerpoint_nan
-
-bash tools/run_lever_sweep.sh
-
-touch "$OUT/TPU_BENCH_RUNNING"
-run BENCH_inference   7200 python -m robustpointclouds_tpu.tools.bench_inference
+run DIAG_cp_nan        3600 python -m robustpointclouds_tpu.tools.diag_centerpoint_nan
+run BENCH_centerpoint2 5400 python -m robustpointclouds_tpu.tools.bench_centerpoint
+run BENCH_inference2   7200 python -m robustpointclouds_tpu.tools.bench_inference
 
 rm -f "$OUT/TPU_BENCH_RUNNING"
 echo "session5 done $(date -u +%FT%TZ)" >> "$LOG"
