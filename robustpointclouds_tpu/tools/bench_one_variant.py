@@ -29,6 +29,12 @@ def main():
     from robustpointclouds_tpu.tools.bench_r4_step import measure
 
     e = os.environ.get
+    trace_dir = None
+    if e("RPC_VAR_TRACE", "0") == "1":
+        here = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        trace_dir = os.path.join(
+            here, "work_dirs", f"trace_{e('RPC_VAR_NAME', 'variant')}")
     r = measure(
         batch_size=int(e("RPC_VAR_B", "6")),
         plan_mode=e("RPC_VAR_PLAN", "1") == "1",
@@ -39,6 +45,8 @@ def main():
         assign=e("RPC_VAR_ASSIGN", "1") == "1",
         dense_gather=e("RPC_VAR_DENSE_GATHER", "0") == "1",
         fpn_d2s=e("RPC_VAR_FPN_D2S", "0") == "1",
+        trace_dir=trace_dir,
+        predispatch=e("RPC_VAR_PREDISP", "0") == "1",
     )
     r["backend"] = jax.default_backend()
     print(json.dumps(r), flush=True)

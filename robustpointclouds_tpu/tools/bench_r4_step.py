@@ -30,7 +30,7 @@ import numpy as np
 
 def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
             xwin_split=1 << 16, assign=True, dense_gather=False,
-            fpn_d2s=False, iters=10):
+            fpn_d2s=False, iters=10, trace_dir=None, predispatch=False):
     import jax
     import jax.numpy as jnp
 
@@ -115,6 +115,15 @@ def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
             )
             return st, losses
 
+        if predispatch:
+            # run ONE per-dispatch step before loading the scan executable:
+            # the plan-pathology bisect's ordering control (diag_plan_bisect
+            # 'predisp') — exercises the axon runtime's fast resident-buffer
+            # path before the scan touches the same buffers
+            step1 = jax.jit(trainer._step_impl)
+            st1, lg1 = step1(state, batch, jnp.float32(5), plans)
+            jax.block_until_ready(lg1["loss"])
+
         run = jax.jit(scan_steps, donate_argnums=(0,))
         state2, losses = run(state, batch, plans)
         jax.block_until_ready(losses)
@@ -131,6 +140,20 @@ def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
              "fps_per_chip": round(fps, 2)}
         if host_ms is not None:
             r["host_plan_ms"] = host_ms
+        if trace_dir:
+            # wall time over the axon tunnel can be dominated by runtime
+            # artifacts (PARITY.md round-4 pathology) — the trace's device
+            # plane gives the scheduler-independent step time
+            from robustpointclouds_tpu.tools.parse_xplane import device_module_ms
+
+            with jax.profiler.trace(trace_dir):
+                state4, losses = run(state3, batch, plans)
+                jax.block_until_ready((state4.params, losses))
+            dev_ms = device_module_ms(trace_dir, "scan_steps")
+            if dev_ms is not None:
+                r["device_step_ms"] = round(dev_ms / iters, 1)
+                r["device_fps_per_chip"] = round(
+                    batch_size * iters / (dev_ms / 1e3), 2)
         return r
     finally:
         (se.XWIN_MAX_CIN, sc.DW_FROM_GCOL, sc.XWIN_SPLIT, sc.SAVE_COL,
