@@ -137,6 +137,20 @@ def main():
             body, (state, jnp.float32(0)), None, length=iters)
         return st, losses
 
+    if use_plan:
+        # Bisect verdict (diag_plan_bisect, v5e 2026-08-19): resident-plan
+        # train-scan WALL time over the axon tunnel is uncontrollably
+        # process-state dependent — 25.5 s/step control, 42/21 s with
+        # perturb/donate, 2.4-4.1 s with extra pre-scan work (builder4 /
+        # this per-dispatch warmup) — while the trace's device plane shows
+        # ~222 ms/step in every form. The warmup below is kept because it
+        # measurably helps (10x) and costs one dispatch, but plan-mode wall
+        # numbers over the tunnel remain runtime artifacts, not step times;
+        # device time comes from the lever sweep's xplane capture.
+        step0 = jax.jit(trainer._step_impl)
+        _st0, _lg0 = step0(state, batch, jnp.float32(5), plan)
+        jax.block_until_ready(_lg0["loss"])
+
     run = jax.jit(scan_steps, donate_argnums=(0,))
     state2, losses = run(state, batch, plan)
     jax.block_until_ready(losses)  # warmup/compile
