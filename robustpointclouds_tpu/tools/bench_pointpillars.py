@@ -145,6 +145,24 @@ def main():
         record["mfu"] = round(flops_per_step / (dt / iters) / 197e12, 4)
     if host_ms is not None:
         record["host_plan_ms"] = host_ms
+    if os.environ.get("BENCH_TRACE", "0") == "1":
+        # device-plane step time (wall over the axon tunnel can be a runtime
+        # artifact for resident-plan train scans — PARITY round-4 bisect)
+        from robustpointclouds_tpu.tools.parse_xplane import device_module_ms
+
+        here = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        tdir = os.path.join(
+            here, "work_dirs",
+            "trace_pillars_plan" if plan is not None else "trace_pillars_inline")
+        with jax.profiler.trace(tdir):
+            state4, losses = run(state3, batch, plan)
+            jax.block_until_ready((state4.params, losses))
+        dev_ms = device_module_ms(tdir, "scan_steps")
+        if dev_ms is not None:
+            record["device_step_ms"] = round(dev_ms / iters, 1)
+            record["device_fps_per_chip"] = round(
+                batch_size * iters / (dev_ms / 1e3), 2)
     print(json.dumps(record))
 
 

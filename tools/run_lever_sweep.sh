@@ -43,5 +43,18 @@ run plan_dev_assign env RPC_VAR_PLAN=1 RPC_VAR_ASSIGN=0
 run plan_B12        env RPC_VAR_PLAN=1 RPC_VAR_B=12
 run plan_wide64     env RPC_VAR_PLAN=1 RPC_VAR_MAX_CIN=64 RPC_VAR_XWIN_SPLIT=32
 
+# pillar family with the same trace-device-time methodology
+pill() {
+  local name=$1; shift
+  echo "== $name start $(date -u +%FT%TZ)" >> "$LOG"
+  timeout 3600 env BENCH_TRACE=1 "$@" \
+    python -m robustpointclouds_tpu.tools.bench_pointpillars \
+    > "$OUT/LEVER_$name.out" 2> "$OUT/LEVER_$name.err"
+  echo "== $name rc=$? end $(date -u +%FT%TZ)" >> "$LOG"
+  cat "$OUT/LEVER_$name.out" >> "$LOG"
+}
+pill pillars_plan   env
+pill pillars_inline env BENCH_NO_PLAN=1
+
 rm -f "$OUT/TPU_BENCH_RUNNING"
 echo "lever sweep done $(date -u +%FT%TZ)" >> "$LOG"
