@@ -59,12 +59,16 @@ def main():
 
     run = jax.jit(scan_steps, donate_argnums=(0,))
     state2, losses = run(state, batch, gt_vel)
-    jax.block_until_ready(losses)
+    np.asarray(losses)  # device->host fetch: forces real completion
     t0 = time.time()
     state3, losses = run(state2, batch, gt_vel)
-    jax.block_until_ready((state3.params, losses))
+    # time the HOST FETCH of the losses, not block_until_ready: the first
+    # on-chip run (session 5) measured 1.3 ms/step for a full CenterPoint
+    # train scan — block_until_ready over the axon tunnel signalled ready
+    # before the device finished; the to-host copy below cannot lie
+    losses_np = np.asarray(losses)
     dt = time.time() - t0
-    assert np.isfinite(np.asarray(losses)).all()
+    assert np.isfinite(losses_np).all()
     print(json.dumps({
         "model": "adversarial-centerpoint-nuscenes",
         "B": batch_size,
