@@ -96,10 +96,13 @@ def measure(batch_size, plan_mode, iters=10):
 
     run = jax.jit(predict_scan)
     counts = run(state.params, state.batch_stats, batch, plans)
-    jax.block_until_ready(counts)  # compile + warmup
+    np.asarray(counts)  # compile + warmup; fetch forces real completion
     t0 = time.time()
     counts = run(state.params, state.batch_stats, batch, plans)
-    jax.block_until_ready(counts)
+    # time the host fetch, not block_until_ready — the latter signalled
+    # ready before device completion on the axon tunnel (bench_centerpoint,
+    # session 5); a to-host copy of the outputs cannot lie
+    np.asarray(counts)
     dt = time.time() - t0
     r = {
         "B": batch_size, "plan": plan_mode,
