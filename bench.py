@@ -26,6 +26,25 @@ REFERENCE_FPS_ESTIMATE = 12.0
 
 def main():
     import os
+    import sys
+
+    # The driver's capture must not contend with a still-running bench suite
+    # for the one chip / one host core (that contention cost round 4 its
+    # recorded number: BENCH_r04 rc=124). Every suite touches
+    # work_dirs/TPU_BENCH_RUNNING while it owns the chip; wait (bounded) for
+    # it to clear instead of silently racing.
+    lock = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "work_dirs", "TPU_BENCH_RUNNING")
+    waited = 0.0
+    while os.path.exists(lock) and waited < 300.0:
+        if waited == 0.0:
+            print(f"bench.py: waiting for {lock} (suite holds the chip)",
+                  file=sys.stderr, flush=True)
+        time.sleep(5.0)
+        waited += 5.0
+    if os.path.exists(lock):
+        print("bench.py: lock still present after 300 s — proceeding anyway",
+              file=sys.stderr, flush=True)
 
     import jax
     import jax.numpy as jnp
