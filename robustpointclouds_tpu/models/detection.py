@@ -70,7 +70,18 @@ def anchor_head_targets(
             anchors, anchor_classes, gt_boxes, gt_labels, gt_mask,
             cfg.pos_iou_thr, cfg.neg_iou_thr, cfg.min_pos_iou,
         )
-    matched_boxes = gt_boxes[res.matched_gt]
+    # One-hot matmul instead of gt_boxes[res.matched_gt]: the per-anchor
+    # row gather from a G-row table costs ~7-9 ms/step on TPU at 211k-321k
+    # anchors (trace attribution, PARITY.md round-5) while the [A,G]x[G,7]
+    # selection matmul is MXU work measured in microseconds. Exact: f32
+    # HIGHEST-precision products with a 0/1 matrix, one nonzero term per row
+    # (matched_gt is an argmax result, always in [0, G)).
+    onehot = (res.matched_gt[:, None]
+              == jnp.arange(gt_boxes.shape[0], dtype=jnp.int32)).astype(gt_boxes.dtype)
+    matched_boxes = jax.lax.dot_general(
+        onehot, gt_boxes, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     bbox_targets = box_coder.encode(matched_boxes, anchors)
     dir_targets = _direction_target(matched_boxes[..., 6], cfg.dir_offset)
     cls_onehot = jax.nn.one_hot(

@@ -23,6 +23,7 @@ Differences from the reference, by design (SURVEY.md §2d):
 """
 from __future__ import annotations
 
+import os as _os
 from typing import Dict, Sequence, Tuple
 
 import flax.linen as nn
@@ -32,6 +33,16 @@ import numpy as np
 
 from ..core.registry import ADVERSARIES
 from .layers import MaskedBatchNorm, masked_mean
+
+# A/B gate: run the adversary MLP (Dense/BN/activation stack) in bf16 like
+# the rest of the encoder stack. Params, BN statistics, the bound math
+# (tanh/scale/clamp) and the regularizer losses stay f32. The MLP runs over
+# every padded point row (480k at KITTI B=6; 3.07M for the pillar family) —
+# trace attribution measured its f32 dot_generals + elementwise at ~51 ms of
+# the 226 ms pillar step (PARITY.md round-5). Perturbation deltas are bounded
+# at +-0.2 m, so bf16's ~3 significant digits on the *delta* are below
+# sensor noise; the perturbed features themselves stay f32.
+PERT_BF16 = _os.environ.get("RPC_PERT_BF16", "0") == "1"
 
 
 def _bound_profile(
@@ -164,25 +175,29 @@ class VoxelPerturber(nn.Module):
         x = jnp.clip(features / (std + 1e-6), -10.0, 10.0)
         x = jnp.where(mask[:, None], x, 0.0)
 
+        mlp_dtype = jnp.bfloat16 if PERT_BF16 else jnp.float32
         chans = list(self.hidden_channels)
-        h = x
+        h = x.astype(mlp_dtype)
         for i, c in enumerate(chans + chans[-2::-1]):  # encoder + mirrored decoder
-            h = nn.Dense(c, name=f"mlp_{i}")(h)
-            h = MaskedBatchNorm(name=f"bn_{i}")(h, mask, train)
+            h = nn.Dense(c, name=f"mlp_{i}", dtype=mlp_dtype)(h)
+            h = MaskedBatchNorm(name=f"bn_{i}", dtype=mlp_dtype)(h, mask, train)
             h = nn.relu(h)
         raw = nn.Dense(
             f,
             kernel_init=nn.initializers.normal(out_std),
             bias_init=nn.initializers.normal(out_std),
             name="mlp_out",
+            dtype=mlp_dtype,
         )(h)
-        raw = jnp.tanh(raw)
+        raw = jnp.tanh(raw.astype(jnp.float32))
 
         if self.use_spatial_attention:
-            a = nn.Dense(max(f // 2, 1), name="attn_0")(x)
+            a = nn.Dense(max(f // 2, 1), name="attn_0", dtype=mlp_dtype)(
+                x.astype(mlp_dtype)
+            )
             a = nn.relu(a)
-            a = nn.Dense(1, name="attn_1")(a)
-            raw = raw * jax.nn.sigmoid(a)
+            a = nn.Dense(1, name="attn_1", dtype=mlp_dtype)(a)
+            raw = raw * jax.nn.sigmoid(a.astype(jnp.float32))
 
         scale_b, clamp_b = _bound_profile(f, self.sensor_error_bound, attack)
         pert = raw * jnp.asarray(scale_b)[None, :]

@@ -43,12 +43,43 @@ DW_FROM_GCOL = _os.environ.get("RPC_DW_GCOL", "0") == "1"
 # stays measured-by-flag like the others: tools/bench_r4_step.
 SAVE_COL = _os.environ.get("RPC_SAVE_COL", "0") == "1"
 
+# A/B gate: consume the img2col as the gather's NATURAL [N, K, C] output and
+# contract (K, C) in one dot_general, instead of reshaping to [N, K*C] first.
+# The reshape is not a bitcast on TPU (the [N·K, C] gather output tiles C to
+# 128 lanes; the flat form re-tiles K*C) — trace attribution measured those
+# retiling copies at ~20-29 ms/step of the plan-fed train step (PARITY.md
+# round-5). With COL3 the layout decision moves into XLA's dot emitter.
+COL3 = _os.environ.get("RPC_COL3", "0") == "1"
+
+
+def _gather_col3(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """feats [N, C], idx [M, K] in [0, N] (N = miss) -> col [M, K, C]."""
+    n, c = feats.shape
+    feats_pad = jnp.concatenate([feats, jnp.zeros((1, c), feats.dtype)], 0)
+    return feats_pad[idx]
+
 
 def _gather_col(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """feats [N, C], idx [N, K] in [0, N] (N = miss) -> col [N, K*C]."""
-    n, c = feats.shape
-    feats_pad = jnp.concatenate([feats, jnp.zeros((1, c), feats.dtype)], 0)
-    return feats_pad[idx].reshape(idx.shape[0], idx.shape[1] * c)
+    return _gather_col3(feats, idx).reshape(idx.shape[0], idx.shape[1] * feats.shape[1])
+
+
+def _dot3(col3: jnp.ndarray, kernel: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    """col3 [M, K, C] x kernel [K*C, D] -> [M, D], contracting (K, C)."""
+    m, k, c = col3.shape
+    k3 = kernel.reshape(k, c, kernel.shape[1])
+    return jax.lax.dot_general(
+        col3, k3, (((1, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+
+
+def _dw3(col3: jnp.ndarray, g: jnp.ndarray, kernel_shape) -> jnp.ndarray:
+    """d_kernel = col^T g without flattening col: [M,K,C] x [M,D] -> [K*C, D]."""
+    m = jax.lax.dot_general(
+        col3, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [K, C, D]
+    return m.reshape(kernel_shape)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=())
@@ -59,6 +90,8 @@ def subm_conv(feats: jnp.ndarray, kernel: jnp.ndarray, idx: jnp.ndarray) -> jnp.
     always f32 via preferred_element_type), so mixed-precision encoders keep
     gather/BN traffic in bf16 end to end.
     """
+    if COL3:
+        return _dot3(_gather_col3(feats, idx), kernel, feats.dtype)
     col = _gather_col(feats, idx)
     return jnp.dot(col, kernel, preferred_element_type=jnp.float32).astype(feats.dtype)
 
@@ -107,6 +140,12 @@ def _bwd(res, g):
     # is exactly the offset negation the symmetry needs)
     w_k = kernel.reshape(k, cin, cout)
     w_t = jnp.transpose(w_k, (0, 2, 1)).reshape(k * cout, cin)
+    if COL3 and not SAVE_COL and not DW_FROM_GCOL:
+        g_col3 = _gather_col3(g, idx[:, ::-1])  # [N, K, Cout], slot = mirror
+        d_feats = _dot3(g_col3, w_t, feats_or_col.dtype)
+        col3 = _gather_col3(feats_or_col, idx)
+        d_kernel = _dw3(col3, g, kernel.shape).astype(kernel.dtype)
+        return d_feats, d_kernel, None
     g_col = _gather_col(g, idx[:, ::-1])  # [N, K*Cout], slot k = mirrored tap
     d_feats = jnp.dot(g_col, w_t, preferred_element_type=jnp.float32).astype(
         feats_or_col.dtype
@@ -217,6 +256,76 @@ def _gather_col_xwin(feats, ids, rows, xvalid, kx):
     return col.reshape(nr, g * kx * c)
 
 
+def _xwin_col3_parts(feats, ids, rows, xvalid, kx):
+    """COL3 form of the x-window img2col: channel-sliced [nr, G, kx*h] parts.
+
+    Yields ``(col3, (lo, hi))`` — the gather's output kept 3-D (no 4-D
+    intermediate, no [nr, G*kx*c] retile, no cross-half concat; the caller
+    contracts each part against the matching kernel channel slice and adds).
+    Row order within a part matches _gather_col_xwin exactly: groups-major,
+    dx-minor, channels minor-most.
+    """
+    n, c = feats.shape
+    nr, g = rows.shape
+
+    def _channel_slices(lo, hi):
+        # same recursive halving as _gather_col_xwin: every gathered row
+        # stays within the ~256 B row-count-bound regime
+        if hi - lo > XWIN_SPLIT and (hi - lo) % 2 == 0:
+            mid = lo + (hi - lo) // 2
+            return _channel_slices(lo, mid) + _channel_slices(mid, hi)
+        return [(lo, hi)]
+
+    for lo, hi in _channel_slices(0, c):
+        h = hi - lo
+        tbl = x_window_table(feats[:, lo:hi] if (lo, hi) != (0, c) else feats,
+                             ids, kx)
+        col3 = tbl[rows]  # [nr, G, kx*h]
+        xm = jnp.repeat(xvalid, h, axis=1).astype(feats.dtype)  # [nr, kx*h]
+        yield col3 * xm[:, None, :], (lo, hi)
+
+
+def _xwin_dot3(parts, kernel, k, cin, cout, reverse_taps, out_dtype):
+    """sum over channel parts of col3 x kernel-slice, contracting (G, kx*h).
+
+    kernel [K*Cin, Cout] with rows ordered (group, dx, channel); a part's
+    slice is kernel.reshape(G, kx, Cin, Cout)[:, :, lo:hi]. With
+    ``reverse_taps`` the TAP axis (group, dx flattened) is reversed and the
+    cin/cout roles swapped — the w_rev of the backward — before slicing.
+    """
+    out = None
+    for col3, (lo, hi) in parts:
+        nr, g, _ = col3.shape
+        kx = k // g
+        if reverse_taps:
+            w = kernel.reshape(k, cin, cout)[::-1].transpose(0, 2, 1)
+            w = w.reshape(g, kx, cout, cin)[:, :, lo:hi]
+            w = w.reshape(g, kx * (hi - lo), cin)
+        else:
+            w = kernel.reshape(g, kx, cin, cout)[:, :, lo:hi]
+            w = w.reshape(g, kx * (hi - lo), cout)
+        part = jax.lax.dot_general(
+            col3, w, (((1, 2), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = part if out is None else out + part
+    return out.astype(out_dtype)
+
+
+def _xwin_dw3(feats, g_out, ids, rows, xvalid, kx, k, cin, cout):
+    """d_kernel via COL3 parts: [nr,G,kx*h] x [nr,Cout] per part, assembled."""
+    g = rows.shape[1]
+    pieces = []
+    for col3, (lo, hi) in _xwin_col3_parts(feats, ids, rows, xvalid, kx):
+        m = jax.lax.dot_general(
+            col3, g_out, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, kx*h, Cout]
+        pieces.append(m.reshape(g, kx, hi - lo, cout))
+    full = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=2)
+    return full.reshape(k * cin, cout)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def subm_conv_xwin(kx: int, feats, kernel, ids, rows, xvalid):
     """Submanifold conv via the x-window table, scatter-free both ways.
@@ -226,6 +335,13 @@ def subm_conv_xwin(kx: int, feats, kernel, ids, rows, xvalid):
     uses the tap-mirror identity (see subm_conv): the same gather applied to
     the cotangent with block-reversed weights.
     """
+    if COL3:
+        k = rows.shape[1] * kx
+        cin = kernel.shape[0] // k
+        return _xwin_dot3(
+            _xwin_col3_parts(feats, ids, rows, xvalid, kx),
+            kernel, k, cin, kernel.shape[1], False, feats.dtype,
+        )
     col = _gather_col_xwin(feats, ids, rows, xvalid, kx)
     return jnp.dot(col, kernel, preferred_element_type=jnp.float32).astype(feats.dtype)
 
@@ -245,6 +361,21 @@ def _sxw_bwd(kx, res, g):
     k = rows.shape[1] * kx
     kcin, cout = kernel.shape
     cin = kcin // k
+    if COL3 and not SAVE_COL:
+        d_feats = _xwin_dot3(
+            _xwin_col3_parts(g, ids, rows, xvalid, kx),
+            kernel, k, cin, cout, True, feats_or_col.dtype,
+        )
+        if DW_FROM_GCOL:
+            g_col = _gather_col_xwin(g, ids, rows, xvalid, kx)
+            d_kernel = _dw_from_gcol(
+                g_col, feats_or_col, k, cout, reverse_slots=True
+            ).astype(kernel.dtype)
+        else:
+            d_kernel = _xwin_dw3(
+                feats_or_col, g, ids, rows, xvalid, kx, k, cin, cout
+            ).astype(kernel.dtype)
+        return d_feats, d_kernel, None, None, None
     w_rev = jnp.transpose(
         kernel.reshape(k, cin, cout)[::-1], (0, 2, 1)
     ).reshape(k * cout, cin)
@@ -280,6 +411,13 @@ def strided_conv_xwin(feats, kernel, ids, rows, xvalid, inv_idx):
     xvalid's static shape.
     """
     kx = xvalid.shape[1]
+    if COL3:
+        k = rows.shape[1] * kx
+        cin = kernel.shape[0] // k
+        return _xwin_dot3(
+            _xwin_col3_parts(feats, ids, rows, xvalid, kx),
+            kernel, k, cin, kernel.shape[1], False, feats.dtype,
+        )
     col = _gather_col_xwin(feats, ids, rows, xvalid, kx)
     return jnp.dot(col, kernel, preferred_element_type=jnp.float32).astype(feats.dtype)
 
@@ -300,6 +438,16 @@ def _stxw_bwd(res, g):
     k = inv_idx.shape[1]
     kcin, cout = kernel.shape
     cin = kcin // k
+    if COL3 and not SAVE_COL and not DW_FROM_GCOL:
+        w_t = jnp.transpose(kernel.reshape(k, cin, cout), (0, 2, 1))
+        g_col3 = _gather_col3(g, inv_idx)  # [N_in, K, Cout], tap-aligned
+        d_feats = _dot3(
+            g_col3, w_t.reshape(k * cout, cin), feats_or_col.dtype
+        )
+        d_kernel = _xwin_dw3(
+            feats_or_col, g, ids, rows, xvalid, kx, k, cin, cout
+        ).astype(kernel.dtype)
+        return d_feats, d_kernel, None, None, None, None
     w_t = jnp.transpose(kernel.reshape(k, cin, cout), (0, 2, 1)).reshape(k * cout, cin)
     g_col = _gather_col(g, inv_idx)  # [N_in, K*Cout], tap-aligned
     d_feats = jnp.dot(g_col, w_t, preferred_element_type=jnp.float32).astype(
@@ -342,6 +490,8 @@ def strided_conv_t(
         d_feats[i] = sum_k g[inv_idx[i, k]] @ W_k^T
     — no scatter in the whole conv.
     """
+    if COL3:
+        return _dot3(_gather_col3(feats, idx), kernel, feats.dtype)
     col = _gather_col(feats, idx)
     return jnp.dot(col, kernel, preferred_element_type=jnp.float32).astype(feats.dtype)
 
@@ -359,6 +509,16 @@ def _st_bwd(res, g):
     k = idx.shape[1]
     kcin, cout = kernel.shape
     cin = kcin // k
+    if COL3 and not SAVE_COL and not DW_FROM_GCOL:
+        w_t3 = jnp.transpose(kernel.reshape(k, cin, cout), (0, 2, 1))
+        d_feats = _dot3(
+            _gather_col3(g, inv_idx), w_t3.reshape(k * cout, cin),
+            feats_or_col.dtype,
+        )
+        d_kernel = _dw3(
+            _gather_col3(feats_or_col, idx), g, kernel.shape
+        ).astype(kernel.dtype)
+        return d_feats, d_kernel, None, None
     w_t = jnp.transpose(kernel.reshape(k, cin, cout), (0, 2, 1)).reshape(k * cout, cin)
     g_col = _gather_col(g, inv_idx)  # [N_in, K*Cout], tap-aligned (no mirror)
     d_feats = jnp.dot(g_col, w_t, preferred_element_type=jnp.float32).astype(

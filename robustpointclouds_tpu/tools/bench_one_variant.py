@@ -47,6 +47,9 @@ def main():
         fpn_d2s=e("RPC_VAR_FPN_D2S", "0") == "1",
         trace_dir=trace_dir,
         predispatch=e("RPC_VAR_PREDISP", "0") == "1",
+        col3=e("RPC_VAR_COL3", "0") == "1",
+        pert_bf16=e("RPC_VAR_PERT_BF16", "0") == "1",
+        fingerprint=e("RPC_VAR_FINGERPRINT", "0") == "1",
     )
     r["backend"] = jax.default_backend()
     print(json.dumps(r), flush=True)

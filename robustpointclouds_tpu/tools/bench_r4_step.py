@@ -30,13 +30,15 @@ import numpy as np
 
 def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
             xwin_split=1 << 16, assign=True, dense_gather=False,
-            fpn_d2s=False, iters=10, trace_dir=None, predispatch=False):
+            fpn_d2s=False, iters=10, trace_dir=None, predispatch=False,
+            col3=False, pert_bf16=False, fingerprint=False):
     import jax
     import jax.numpy as jnp
 
     from robustpointclouds_tpu.data import synthetic_kitti_batch
     from robustpointclouds_tpu.data.structures import PointCloudBatch
     from robustpointclouds_tpu.models import VoxelNetConfig
+    from robustpointclouds_tpu.nn import perturber as prt
     from robustpointclouds_tpu.nn import second as snd
     from robustpointclouds_tpu.nn import sparse_encoder as se
     from robustpointclouds_tpu.ops import subm_conv as sc
@@ -44,13 +46,15 @@ def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
     from robustpointclouds_tpu.train.loop import HostPlanBuilder
 
     saved = (se.XWIN_MAX_CIN, sc.DW_FROM_GCOL, sc.XWIN_SPLIT, sc.SAVE_COL,
-             se.DENSE_GATHER, snd.FPN_D2S)
+             se.DENSE_GATHER, snd.FPN_D2S, sc.COL3, prt.PERT_BF16)
     se.XWIN_MAX_CIN = xwin_max_cin
     sc.DW_FROM_GCOL = dw_gcol
     sc.XWIN_SPLIT = xwin_split
     sc.SAVE_COL = save_col
     se.DENSE_GATHER = dense_gather
     snd.FPN_D2S = fpn_d2s
+    sc.COL3 = col3
+    prt.PERT_BF16 = pert_bf16
     try:
         num_points = 20000
         model_cfg = VoxelNetConfig()
@@ -136,6 +140,7 @@ def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
         r = {"B": batch_size, "plan": plan_mode, "assign": assign and plan_mode,
              "save_col": save_col, "dw": dw_gcol, "max_cin": xwin_max_cin,
              "dense_gather": dense_gather, "fpn_d2s": fpn_d2s,
+             "col3": col3, "pert_bf16": pert_bf16,
              "step_ms": round(1e3 * dt / iters, 1),
              "fps_per_chip": round(fps, 2)}
         if host_ms is not None:
@@ -154,10 +159,29 @@ def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
                 r["device_step_ms"] = round(dev_ms / iters, 1)
                 r["device_fps_per_chip"] = round(
                     batch_size * iters / (dev_ms / 1e3), 2)
+        if fingerprint:
+            # prove identical-looking variants compile DIFFERENT modules
+            # (VERDICT r4 item 7): XLA FLOP estimate + a hash of the
+            # optimized module text. AFTER all timing — .compile() loads a
+            # duplicate executable (a known process-state perturbation).
+            import hashlib
+
+            try:
+                compiled = run.lower(state, batch, plans).compile()
+                cost = compiled.cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                r["module_flops_per_step"] = float(cost.get("flops", 0.0)) / iters
+                h = hashlib.sha256()
+                for mod in compiled.as_text().splitlines():
+                    h.update(mod.encode())
+                r["module_hash"] = h.hexdigest()[:16]
+            except Exception as exc:  # fingerprint is best-effort
+                r["module_hash_error"] = str(exc)[:120]
         return r
     finally:
         (se.XWIN_MAX_CIN, sc.DW_FROM_GCOL, sc.XWIN_SPLIT, sc.SAVE_COL,
-         se.DENSE_GATHER, snd.FPN_D2S) = saved
+         se.DENSE_GATHER, snd.FPN_D2S, sc.COL3, prt.PERT_BF16) = saved
 
 
 def main():
