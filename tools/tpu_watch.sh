@@ -32,5 +32,20 @@ if [ -e "$OUT/TPU_BENCH_RUNNING" ]; then
   echo "TPU UP $(date -u +%FT%TZ) but suite lock held - exiting" >> "$LOG"
   exit 0
 fi
-echo "TPU UP $(date -u +%FT%TZ) - running tools/run_bench_suite3.sh" >> "$LOG"
-bash /root/repo/tools/run_bench_suite3.sh
+# Round-boundary guard (VERDICT r4 item 8): if work_dirs/ROUND_DEADLINE
+# holds an epoch-seconds deadline, refuse to start a suite whose worst-case
+# duration (SUITE_WORST_S, default 2h) would cross it — a suite that outruns
+# the round contends with the driver's bench capture and loses the round's
+# recorded number (that killed BENCH_r04).
+SUITE=${SUITE:-/root/repo/tools/run_bench_suite3.sh}
+SUITE_WORST_S=${SUITE_WORST_S:-7200}
+if [ -f "$OUT/ROUND_DEADLINE" ]; then
+  deadline=$(cat "$OUT/ROUND_DEADLINE")
+  now=$(date +%s)
+  if [ $((now + SUITE_WORST_S)) -gt "$deadline" ]; then
+    echo "TPU UP $(date -u +%FT%TZ) but worst-case suite end crosses ROUND_DEADLINE - exiting" >> "$LOG"
+    exit 0
+  fi
+fi
+echo "TPU UP $(date -u +%FT%TZ) - running $SUITE" >> "$LOG"
+bash "$SUITE"
