@@ -35,6 +35,10 @@ def main():
     # it to clear instead of silently racing.
     lock = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "work_dirs", "TPU_BENCH_RUNNING")
+    # a suite that holds the lock itself sets RPC_SUITE_OWNER=1 when it runs
+    # bench.py as one of its own items — don't wait on our own lock
+    if os.environ.get("RPC_SUITE_OWNER", "0") == "1":
+        lock = os.devnull + ".nonexistent"
     waited = 0.0
     while os.path.exists(lock) and waited < 300.0:
         if waited == 0.0:

@@ -7,9 +7,21 @@ we get it explicitly from masks.
 """
 from __future__ import annotations
 
+import os as _os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+# A/B gate: when the module's compute dtype is bf16, read the activations in
+# bf16 for the batch statistics and let the REDUCTION accumulate in f32
+# (jnp.sum dtype=f32), instead of materializing an f32 copy of the whole
+# [N, C] tensor first. Statistics, running stats and params stay f32; only
+# the per-element read width changes. Halves the BN stats traffic on the
+# 3M-row pillar PFN / perturber stacks (trace attribution, PARITY.md
+# round-5); bf16-level rounding on the per-element terms is within the BN
+# eps (1e-3) regime these stacks run at.
+BN_BF16_STATS = _os.environ.get("RPC_BN_BF16_STATS", "0") == "1"
 
 
 def masked_mean(x: jnp.ndarray, mask: jnp.ndarray, axis=0, keepdims: bool = True):
@@ -53,10 +65,18 @@ class MaskedBatchNorm(nn.Module):
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
 
-        xs = x.astype(jnp.float32)
+        lowp = BN_BF16_STATS and x.dtype != jnp.float32
+        xs = x if lowp else x.astype(jnp.float32)
         if train:
-            mu = masked_mean(xs, mask, axis=0, keepdims=False)
-            var = masked_mean((xs - mu[None, :]) ** 2, mask, axis=0, keepdims=False)
+            if lowp:
+                m = mask.astype(x.dtype)[:, None]
+                cnt = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+                mu = jnp.sum(x * m, axis=0, dtype=jnp.float32) / cnt
+                d = x - mu[None, :].astype(x.dtype)
+                var = jnp.sum(d * d * m, axis=0, dtype=jnp.float32) / cnt
+            else:
+                mu = masked_mean(xs, mask, axis=0, keepdims=False)
+                var = masked_mean((xs - mu[None, :]) ** 2, mask, axis=0, keepdims=False)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mu
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
@@ -64,5 +84,11 @@ class MaskedBatchNorm(nn.Module):
             mu, var = ra_mean.value, ra_var.value
 
         inv = jax.lax.rsqrt(var[None, :] + self.eps)
+        if lowp:
+            # keep the elementwise path in the input dtype end to end; the
+            # per-channel scalars fold to (inv*scale, bias - mu*inv*scale)
+            a = (inv * scale[None, :]).astype(x.dtype)
+            b = (bias[None, :] - mu[None, :] * inv * scale[None, :]).astype(x.dtype)
+            return (x * a + b).astype(self.dtype)
         y = (xs - mu[None, :]) * inv
         return (y * scale[None, :] + bias[None, :]).astype(self.dtype)

@@ -38,7 +38,7 @@ lever() {
 }
 
 # 1. driver-cache warm + the honest inline number with the E1 rewrites
-run BENCH_r5_default 2400 python bench.py
+run BENCH_r5_default 2400 env RPC_SUITE_OWNER=1 python bench.py
 # 2. lever ladder (plan schedule, device-plane verdicts)
 lever r5_base      3300 env RPC_VAR_PLAN=1
 lever r5_col3      3300 env RPC_VAR_PLAN=1 RPC_VAR_COL3=1
@@ -47,6 +47,6 @@ lever r5_col3bf16  3300 env RPC_VAR_PLAN=1 RPC_VAR_COL3=1 RPC_VAR_PERT_BF16=1
 run LEVER_r5_pillars 2400 env BENCH_TRACE=1 RPC_PERT_BF16=1 \
   python -m robustpointclouds_tpu.tools.bench_pointpillars
 # 4. inline step with all round-5 levers (bench.py form, env-gated)
-run BENCH_r5_inline_levers 2400 env RPC_COL3=1 RPC_PERT_BF16=1 python bench.py
+run BENCH_r5_inline_levers 2400 env RPC_SUITE_OWNER=1 RPC_COL3=1 RPC_PERT_BF16=1 python bench.py
 
 echo "session_r5a done $(date -u +%FT%TZ)" >> "$LOG"
