@@ -37,8 +37,13 @@ lever() {
     python -m robustpointclouds_tpu.tools.bench_one_variant
 }
 
-lever r5_col3_dwg    3300 env RPC_VAR_PLAN=1 RPC_VAR_COL3=1 RPC_VAR_DW_GCOL=1
-lever r5_col3_xwin64 3300 env RPC_VAR_PLAN=1 RPC_VAR_COL3=1 RPC_VAR_MAX_CIN=64 RPC_VAR_XWIN_SPLIT=32
+# session-A verdict: col3 LOSES at the step level (214.2 vs 199.0 base —
+# the retiles it removes were overlapping other work); bf16 adversary wins
+# ~6 ms. Measure bf16 WITHOUT col3, + the BN-stats read-width lever, + the
+# dW-from-g-col re-measure under the plan+E1 schedule.
+lever r5_bf16     3300 env RPC_VAR_PLAN=1 RPC_VAR_PERT_BF16=1
+lever r5_bf16_bn  3300 env RPC_VAR_PLAN=1 RPC_VAR_PERT_BF16=1 RPC_BN_BF16_STATS=1
+lever r5_bf16_dwg 3300 env RPC_VAR_PLAN=1 RPC_VAR_PERT_BF16=1 RPC_VAR_DW_GCOL=1
 run LEVER_r5_pillars_bn 2400 env BENCH_TRACE=1 RPC_PERT_BF16=1 RPC_BN_BF16_STATS=1 \
   python -m robustpointclouds_tpu.tools.bench_pointpillars
 run BENCH_r5_centerpoint 3300 env BENCH_TRACE=1 \
