@@ -50,15 +50,26 @@ def summarize(trace_dir, topk=30):
                 print(f"  {us / 1e6:9.3f} s  x{cnt[name]:<7d} {name[:120]}")
 
 
+def _latest_trace_paths(trace_dir):
+    """Trace files of the MOST RECENT capture only. jax.profiler.trace
+    appends a new timestamped subdir per run; summing across subdirs
+    double-counts re-used trace dirs (session-r5a measured a 391 ms pillar
+    "step" that was session-8's 230 + the real 162 summed)."""
+    runs = sorted(glob.glob(os.path.join(trace_dir, "plugins", "profile", "*")))
+    if not runs:
+        return []
+    return sorted(glob.glob(os.path.join(runs[-1], "*.trace.json.gz")))
+
+
 def device_module_ms(trace_dir, name_substr="scan_steps"):
     """Total duration (ms) of the named XLA module's executions on the
     DEVICE plane — the wall-clock-independent step time. Sums module-level
     events only (op events nest inside modules; summing everything would
-    double count), on pids whose process_name mentions the device. Returns
-    None if the trace holds no matching device event, e.g. on CPU-only runs
-    (the CPU backend has no separate device plane)."""
-    paths = glob.glob(os.path.join(trace_dir, "plugins", "profile", "*",
-                                   "*.trace.json.gz"))
+    double count), on pids whose process_name mentions the device, in the
+    LATEST capture under the dir. Returns None if the trace holds no
+    matching device event, e.g. on CPU-only runs (the CPU backend has no
+    separate device plane)."""
+    paths = _latest_trace_paths(trace_dir)
     total_us = 0.0
     found = False
     for p in sorted(paths):
@@ -100,9 +111,8 @@ def _device_op_events(trace_dir):
     These carry full HLO provenance: `hlo_category`, `long_name` (HLO with
     operand shapes/layouts), `source` (python file:line), `model_flops`,
     `raw_bytes_accessed` — everything needed to attribute a step to source
-    code without TensorBoard (VERDICT r4 item 2)."""
-    paths = glob.glob(os.path.join(trace_dir, "plugins", "profile", "*",
-                                   "*.trace.json.gz"))
+    code without TensorBoard (VERDICT r4 item 2). Latest capture only."""
+    paths = _latest_trace_paths(trace_dir)
     for p in sorted(paths):
         with gzip.open(p) as f:
             tr = json.load(f)
