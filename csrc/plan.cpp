@@ -299,12 +299,22 @@ void voxelize_all(const float* points, const uint8_t* points_mask,
                   const float* pcr, const float* vs,
                   int64_t V, int64_t T, int64_t nx, int64_t ny, int64_t nz,
                   float* out_voxels, uint8_t* out_pmask,
-                  std::vector<int32_t>* counts, std::vector<int32_t>* vflat) {
+                  std::vector<int32_t>* counts, std::vector<int32_t>* vflat,
+                  int32_t* out_slot_point /*[B,V,T] or null*/,
+                  int32_t* out_point_slot /*[B,P] or null*/) {
   const int64_t sentinel = nz * ny * nx;
   counts->assign(Bn, 0);
   vflat->assign(Bn * V, static_cast<int32_t>(sentinel));
   std::memset(out_voxels, 0, sizeof(float) * Bn * V * T * F);
   std::memset(out_pmask, 0, sizeof(uint8_t) * Bn * V * T);
+  // point <-> slot bijection (ops/voxelize slot_point/point_slot semantics):
+  // slot_point miss = P; point_slot for dropped/out-of-range points = V*T
+  if (out_slot_point)
+    for (int64_t i = 0; i < Bn * V * T; ++i)
+      out_slot_point[i] = static_cast<int32_t>(P);
+  if (out_point_slot)
+    for (int64_t i = 0; i < Bn * P; ++i)
+      out_point_slot[i] = static_cast<int32_t>(V * T);
 
   std::vector<std::pair<int32_t, int32_t>> keyed(P);
   for (int64_t b = 0; b < Bn; ++b) {
@@ -339,6 +349,10 @@ void voxelize_all(const float* points, const uint8_t* points_mask,
       std::memcpy(out_voxels + ((b * V + vr) * T + slot) * F,
                   pts + src * F, sizeof(float) * F);
       out_pmask[(b * V + vr) * T + slot] = 1;
+      if (out_slot_point)
+        out_slot_point[(b * V + vr) * T + slot] = static_cast<int32_t>(src);
+      if (out_point_slot)
+        out_point_slot[b * P + src] = static_cast<int32_t>(vr * T + slot);
       if (slot == 0) {
         (*vflat)[b * V + vr] = flat;
         ++nvalid;
@@ -372,12 +386,14 @@ int rpc_build_pillar_plan(const float* points, const uint8_t* points_mask,
   int32_t* out_gcoords = static_cast<int32_t*>(outs[oi++]); // [B*V,3]
   uint8_t* out_gmask = static_cast<uint8_t*>(outs[oi++]);   // [B*V]
   int32_t* out_dense = static_cast<int32_t*>(outs[oi++]);   // [B*ny*nx]
+  int32_t* out_slotp = static_cast<int32_t*>(outs[oi++]);   // [B,V,T]
+  int32_t* out_pslot = static_cast<int32_t*>(outs[oi++]);   // [B,P]
 
   const int64_t N = Bn * V;
   std::vector<int32_t> counts;
   std::vector<int32_t> vflat;
   voxelize_all(points, points_mask, Bn, P, F, pcr, vs, V, T, nx, ny, nz,
-               out_voxels, out_pmask, &counts, &vflat);
+               out_voxels, out_pmask, &counts, &vflat, out_slotp, out_pslot);
 
   for (int64_t b = 0; b < Bn; ++b) {
     for (int64_t v = 0; v < V; ++v) {
@@ -479,6 +495,8 @@ int rpc_build_plan(const float* points, const uint8_t* points_mask,
   uint8_t* o_mask = static_cast<uint8_t*>(outs[oi++]);        // [N4]
   int32_t* o_inv = static_cast<int32_t*>(outs[oi++]);         // [N3,3]
   int32_t* o_idx = static_cast<int32_t*>(outs[oi++]);         // [N4,3]
+  int32_t* out_slotp = static_cast<int32_t*>(outs[oi++]);     // [B,V,T]
+  int32_t* out_pslot = static_cast<int32_t*>(outs[oi++]);     // [B,P]
 
   const int64_t N = Bn * V;
   const int64_t D = nz + 1;  // sparse z (SECOND convention)
@@ -487,7 +505,7 @@ int rpc_build_plan(const float* points, const uint8_t* points_mask,
   std::vector<int32_t> counts;
   std::vector<int32_t> vflat;   // per (b, v): flat3 id, ascending per sample
   voxelize_all(points, points_mask, Bn, P, F, pcr, vs, V, T, nx, ny, nz,
-               out_voxels, out_pmask, &counts, &vflat);
+               out_voxels, out_pmask, &counts, &vflat, out_slotp, out_pslot);
   for (int64_t b = 0; b < Bn; ++b) {
     for (int64_t v = 0; v < V; ++v) {
       int32_t np = 0;

@@ -103,6 +103,8 @@ def build_pillar_plan_native(points: np.ndarray, points_mask: np.ndarray,
         "grid_coords": np.empty((N, 3), np.int32),
         "grid_mask": np.empty((N,), bool),
         "dense": np.empty((B * ny * nx,), np.int32),
+        "slot_point": np.empty((B, V, T), np.int32),
+        "point_slot": np.empty((B, P), np.int32),
     }
     outs = (ctypes.c_void_p * len(a))(
         *[v.ctypes.data_as(ctypes.c_void_p).value for v in a.values()]
@@ -197,6 +199,8 @@ def build_plan_native(points: np.ndarray, points_mask: np.ndarray, voxelizer,
         "o_mask": np.empty((n4,), bool),
         "o_inv": np.empty((n3, 3), np.int32),
         "o_idx": np.empty((n4, 3), np.int32),
+        "slot_point": np.empty((B, V, T), np.int32),
+        "point_slot": np.empty((B, P), np.int32),
     }
     order = list(a.keys())
     outs = (ctypes.c_void_p * len(order))(
@@ -221,6 +225,8 @@ def build_plan_native(points: np.ndarray, points_mask: np.ndarray, voxelizer,
         "num_points": a["num_points"],
         "voxel_mask": a["voxel_mask"],
         "point_mask": a["point_mask"],
+        "slot_point": a["slot_point"],
+        "point_slot": a["point_slot"],
         "order": a["order"],
         "grid_ids": a["grid_ids"],
         "grid_coords": a["grid_coords"],

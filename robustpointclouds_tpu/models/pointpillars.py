@@ -153,6 +153,8 @@ def build_pillar_plan(points, points_mask, cfg: "PointPillarsConfig"):
         "num_points": res.num_points,
         "voxel_mask": res.voxel_mask,
         "point_mask": res.point_mask,
+        "slot_point": res.slot_point,
+        "point_slot": res.point_slot,
         "order": order,
         "grid_ids": grid.flat_ids,
         "grid_coords": grid.coords,
@@ -233,20 +235,12 @@ class AdversarialPointPillars(nn.Module):
             "std_perturbation": jnp.float32(0.0),
         }
         if self.adversary is not None and (train or attack):
-            b, v, t, f = voxels.shape
-            flat = voxels.reshape(b * v * t, f)
-            flat_mask = res.point_mask.reshape(b * v * t)
-            perturbed, aux = self.adversary(flat, flat_mask, train, attack)
-            gate = jnp.minimum(
-                jnp.asarray(attack or False, jnp.float32)
-                + (jnp.asarray(epoch, jnp.float32) >= self.cfg.adversary_start_epoch),
-                1.0,
+            from .voxelnet import apply_voxel_adversary
+
+            voxels, adv_aux = apply_voxel_adversary(
+                self.adversary, points, voxels, res, plan, train, attack,
+                epoch, self.cfg.adversary_start_epoch, adv_grad_scale,
             )
-            delta = grad_scale(
-                perturbed.reshape(b, v, t, f) - voxels, jnp.asarray(adv_grad_scale)
-            )
-            voxels = voxels + gate * delta
-            adv_aux = {k: gate * v_ for k, v_ in aux.items()}
 
         feats = self.pfn(voxels, res.point_mask, res.coords, train)  # [B,V,C]
         # BEV densify (mmdet3d PointPillarsScatter): 2D (y, x) merged grid

@@ -27,7 +27,67 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os
+
 from ..core.registry import MODELS
+
+# A/B gate: run the adversary MLP over the COMPACT point list [B*P, F]
+# instead of the padded voxel slots [B*V*T, F] (~75% padding at KITTI B=6,
+# ~96% for the 32-point pillar family), gathering the bounded deltas into
+# slots via the voxelizer's point->slot bijection. Numerically equal to the
+# padded form up to f32 reduction order (same multiset of rows feeds the
+# masked statistics). Measured round 5; see PARITY.md.
+COMPACT_PERT = _os.environ.get("RPC_COMPACT_PERT", "0") == "1"
+
+
+def apply_voxel_adversary(adversary, points, voxels, res, plan, train, attack,
+                          epoch, start_epoch, adv_grad_scale):
+    """Pre-encoder raw-voxel perturbation, shared by all three families.
+
+    Reference semantics (adversarial_voxelnet.py:135-146): perturb the
+    padded voxel features before the VFE, gated until epoch >= start (attack
+    mode bypasses the gate), deltas through gradient reversal.
+
+    With COMPACT_PERT the adversary MLP runs over the compact point list
+    [B*P, F] instead of the padded slots [B*V*T, F] and the bounded deltas
+    are gathered into slots via the voxelizer's point->slot bijection
+    (ops/voxelize slot_point/point_slot). Numerically equal to the padded
+    form up to f32 reduction order: the surviving points are in bijection
+    with the valid slots, so the masked statistics see the same multiset.
+
+    Returns (voxels, gate-scaled aux loss dict).
+    """
+    from ..ops.grad import grad_scale as _gs
+
+    b, v, t, f = voxels.shape
+    gate = jnp.asarray(
+        attack or False, jnp.float32
+    ) + (jnp.asarray(epoch, jnp.float32) >= start_epoch)
+    gate = jnp.minimum(gate, 1.0)
+    slot_point = plan.get("slot_point") if plan is not None else res.slot_point
+    point_slot = plan.get("point_slot") if plan is not None else res.point_slot
+    if COMPACT_PERT and slot_point is not None and point_slot is not None:
+        p_cnt = points.shape[1]
+        pts = points[..., :f].reshape(b * p_cnt, f)
+        survived = (point_slot < v * t).reshape(b * p_cnt)
+        perturbed_pts, aux = adversary(pts, survived, train, attack)
+        delta_pts = _gs(perturbed_pts - pts, jnp.asarray(adv_grad_scale))
+        gidx = jnp.where(
+            slot_point < p_cnt,
+            slot_point + (jnp.arange(b, dtype=jnp.int32) * p_cnt)[:, None, None],
+            b * p_cnt,
+        )
+        delta_pad = jnp.concatenate(
+            [delta_pts, jnp.zeros((1, f), delta_pts.dtype)], 0)
+        voxels = voxels + gate * delta_pad[gidx]
+    else:
+        flat = voxels.reshape(b * v * t, f)
+        flat_mask = res.point_mask.reshape(b * v * t)
+        perturbed, aux = adversary(flat, flat_mask, train, attack)
+        delta = _gs(perturbed.reshape(b, v, t, f) - voxels,
+                    jnp.asarray(adv_grad_scale))
+        voxels = voxels + gate * delta
+    return voxels, {k: gate * v_ for k, v_ in aux.items()}
 from ..nn import (
     Anchor3DHead,
     HardSimpleVFE,
@@ -190,21 +250,10 @@ class AdversarialVoxelNet(nn.Module):
             "std_perturbation": jnp.float32(0.0),
         }
         if self.adversary is not None and (train or attack):
-            b, v, t, f = voxels.shape
-            flat = voxels.reshape(b * v * t, f)
-            flat_mask = res.point_mask.reshape(b * v * t)
-            perturbed, aux = self.adversary(flat, flat_mask, train, attack)
-            # delayed start: adversary inert until epoch >= start (traced gate,
-            # reference adversarial_voxelnet.py:77-78); attack mode bypasses it
-            gate = jnp.asarray(
-                attack or False, jnp.float32
-            ) + (jnp.asarray(epoch, jnp.float32) >= self.cfg.adversary_start_epoch)
-            gate = jnp.minimum(gate, 1.0)
-            delta = grad_scale(
-                perturbed.reshape(b, v, t, f) - voxels, jnp.asarray(adv_grad_scale)
+            voxels, adv_aux = apply_voxel_adversary(
+                self.adversary, points, voxels, res, plan, train, attack,
+                epoch, self.cfg.adversary_start_epoch, adv_grad_scale,
             )
-            voxels = voxels + gate * delta
-            adv_aux = {k: gate * v_ for k, v_ in aux.items()}
 
         feats = HardSimpleVFE(voxels, res.point_mask)  # [B, V, F]
         feats = feats.reshape(-1, feats.shape[-1])[order]
@@ -245,6 +294,8 @@ def sparse_plan_core(points, points_mask, vz: VoxelizerConfig,
         "num_points": res.num_points,
         "voxel_mask": res.voxel_mask,
         "point_mask": res.point_mask,
+        "slot_point": res.slot_point,
+        "point_slot": res.point_slot,
         "order": order,
         "grid_ids": grid.flat_ids,
         "grid_coords": grid.coords,

@@ -48,6 +48,11 @@ class VoxelizationResult(NamedTuple):
     num_points: jnp.ndarray  # [V] int32; 0 marks padding voxels
     voxel_mask: jnp.ndarray  # [V] bool
     point_mask: jnp.ndarray  # [V, T] bool per-slot validity
+    # point <-> slot bijection over the surviving points (the compact-point
+    # adversary consumes these: perturb [P] rows, gather deltas into slots —
+    # ~75-96% of the padded [V, T] rows are padding at KITTI/pillar scale)
+    slot_point: jnp.ndarray = None  # [V, T] int32 original point index; P = miss
+    point_slot: jnp.ndarray = None  # [P] int32 flat slot v*T + t; V*T = dropped
 
 
 def voxelize(
@@ -121,7 +126,19 @@ def voxelize(
         jnp.stack([cz, cy, cx], axis=1),
         jnp.int32(-1),
     )
-    return VoxelizationResult(voxels, coords, num_points, voxel_mask, point_mask)
+    # point <-> slot maps (order[s] = original index of sorted row s)
+    slot_point = (
+        jnp.full((V + 1, T), P, jnp.int32)
+        .at[scatter_v, scatter_t]
+        .set(jnp.where(keep, order.astype(jnp.int32), P))[:V]
+    )
+    point_slot = (
+        jnp.full((P,), V * T, jnp.int32)
+        .at[order]
+        .set(jnp.where(keep, scatter_v * T + scatter_t, V * T).astype(jnp.int32))
+    )
+    return VoxelizationResult(voxels, coords, num_points, voxel_mask, point_mask,
+                              slot_point, point_slot)
 
 
 def voxelize_batch(

@@ -50,6 +50,7 @@ def main():
         col3=e("RPC_VAR_COL3", "0") == "1",
         pert_bf16=e("RPC_VAR_PERT_BF16", "0") == "1",
         fingerprint=e("RPC_VAR_FINGERPRINT", "0") == "1",
+        compact=e("RPC_VAR_COMPACT", "0") == "1",
     )
     r["backend"] = jax.default_backend()
     print(json.dumps(r), flush=True)

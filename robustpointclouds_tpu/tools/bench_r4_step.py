@@ -31,13 +31,14 @@ import numpy as np
 def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
             xwin_split=1 << 16, assign=True, dense_gather=False,
             fpn_d2s=False, iters=10, trace_dir=None, predispatch=False,
-            col3=False, pert_bf16=False, fingerprint=False):
+            col3=False, pert_bf16=False, fingerprint=False, compact=False):
     import jax
     import jax.numpy as jnp
 
     from robustpointclouds_tpu.data import synthetic_kitti_batch
     from robustpointclouds_tpu.data.structures import PointCloudBatch
     from robustpointclouds_tpu.models import VoxelNetConfig
+    from robustpointclouds_tpu.models import voxelnet as vx
     from robustpointclouds_tpu.nn import perturber as prt
     from robustpointclouds_tpu.nn import second as snd
     from robustpointclouds_tpu.nn import sparse_encoder as se
@@ -46,7 +47,8 @@ def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
     from robustpointclouds_tpu.train.loop import HostPlanBuilder
 
     saved = (se.XWIN_MAX_CIN, sc.DW_FROM_GCOL, sc.XWIN_SPLIT, sc.SAVE_COL,
-             se.DENSE_GATHER, snd.FPN_D2S, sc.COL3, prt.PERT_BF16)
+             se.DENSE_GATHER, snd.FPN_D2S, sc.COL3, prt.PERT_BF16,
+             vx.COMPACT_PERT)
     se.XWIN_MAX_CIN = xwin_max_cin
     sc.DW_FROM_GCOL = dw_gcol
     sc.XWIN_SPLIT = xwin_split
@@ -55,6 +57,7 @@ def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
     snd.FPN_D2S = fpn_d2s
     sc.COL3 = col3
     prt.PERT_BF16 = pert_bf16
+    vx.COMPACT_PERT = compact
     try:
         num_points = 20000
         model_cfg = VoxelNetConfig()
@@ -140,7 +143,7 @@ def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
         r = {"B": batch_size, "plan": plan_mode, "assign": assign and plan_mode,
              "save_col": save_col, "dw": dw_gcol, "max_cin": xwin_max_cin,
              "dense_gather": dense_gather, "fpn_d2s": fpn_d2s,
-             "col3": col3, "pert_bf16": pert_bf16,
+             "col3": col3, "pert_bf16": pert_bf16, "compact": compact,
              "step_ms": round(1e3 * dt / iters, 1),
              "fps_per_chip": round(fps, 2)}
         if host_ms is not None:
@@ -181,7 +184,8 @@ def measure(batch_size, plan_mode, save_col, dw_gcol, xwin_max_cin=32,
         return r
     finally:
         (se.XWIN_MAX_CIN, sc.DW_FROM_GCOL, sc.XWIN_SPLIT, sc.SAVE_COL,
-         se.DENSE_GATHER, snd.FPN_D2S, sc.COL3, prt.PERT_BF16) = saved
+         se.DENSE_GATHER, snd.FPN_D2S, sc.COL3, prt.PERT_BF16,
+         vx.COMPACT_PERT) = saved
 
 
 def main():
