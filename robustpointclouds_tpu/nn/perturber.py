@@ -42,7 +42,9 @@ from .layers import MaskedBatchNorm, masked_mean
 # the 226 ms pillar step (PARITY.md round-5). Perturbation deltas are bounded
 # at +-0.2 m, so bf16's ~3 significant digits on the *delta* are below
 # sensor noise; the perturbed features themselves stay f32.
-PERT_BF16 = _os.environ.get("RPC_PERT_BF16", "0") == "1"
+# DEFAULT ON since round 5: measured −5.6 ms on the SECOND plan step
+# (193.4 vs 199.0) and part of the pillar −30% (PARITY.md round-5 table).
+PERT_BF16 = _os.environ.get("RPC_PERT_BF16", "1") == "1"
 
 
 def _bound_profile(
