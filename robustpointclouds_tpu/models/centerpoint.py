@@ -14,6 +14,7 @@ min-max construction as voxelnet.py.
 """
 from __future__ import annotations
 
+import os as _os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
@@ -89,7 +90,17 @@ class AdversarialCenterPoint(nn.Module):
     def setup(self):
         vz = self.cfg.voxelizer
         dt = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
-        self.pts_middle_encoder = SparseEncoder(
+        # CenterPoint's residual (basicblock) encoder doubles the conv count
+        # per stage; without rematerialization the plan-fed B=4 train step's
+        # saved backward residuals exceed v5e HBM by ~0.4 GB (round-5,
+        # work_dirs/BENCH_r5_centerpoint.err). nn.checkpoint recomputes the
+        # stage forwards in the backward — exact, trades ~1 extra encoder
+        # forward for the residual memory (jax.checkpoint is the idiomatic
+        # XLA memory/FLOPs dial). RPC_CP_REMAT=0 reverts.
+        enc_cls = SparseEncoder
+        if _os.environ.get("RPC_CP_REMAT", "1") == "1":
+            enc_cls = nn.checkpoint(SparseEncoder, static_argnums=(3,))
+        self.pts_middle_encoder = enc_cls(
             sparse_shape=vz.sparse_shape, in_channels=self.cfg.num_point_features,
             encoder_channels=self.cfg.encoder_channels,
             residual=self.cfg.residual_encoder,

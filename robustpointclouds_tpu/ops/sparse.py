@@ -61,6 +61,17 @@ class SparseGrid(NamedTuple):
         return len(self.spatial_shape)
 
 
+# Explicit pytree registration overriding the NamedTuple default:
+# `spatial_shape` is STATIC aux data, not leaves — so a SparseGrid can cross
+# transform boundaries (nn.checkpoint around the CenterPoint encoder,
+# jit/vmap args) without its shape ints becoming tracers.
+jax.tree_util.register_pytree_node(
+    SparseGrid,
+    lambda g: ((g.flat_ids, g.coords, g.mask), g.spatial_shape),
+    lambda shape, kids: SparseGrid(kids[0], kids[1], kids[2], shape),
+)
+
+
 def flatten_coords(coords: jnp.ndarray, mask: jnp.ndarray, spatial_shape) -> jnp.ndarray:
     strides = jnp.asarray(_strides_of(spatial_shape))
     flat = jnp.sum(coords * strides[None, :], axis=1)
