@@ -97,8 +97,18 @@ class AdversarialCenterPoint(nn.Module):
         # stage forwards in the backward — exact, trades ~1 extra encoder
         # forward for the residual memory (jax.checkpoint is the idiomatic
         # XLA memory/FLOPs dial). RPC_CP_REMAT=0 reverts.
+        # RPC_CP_REMAT: "1" full remat (default), "dots" = save the conv
+        # matmul outputs and recompute only the elementwise tail (the
+        # encoder's backward then skips re-running its ~550 ms of gathers;
+        # costs most of the full-remat memory saving back), "0" off.
         enc_cls = SparseEncoder
-        if _os.environ.get("RPC_CP_REMAT", "1") == "1":
+        remat_mode = _os.environ.get("RPC_CP_REMAT", "1")
+        if remat_mode == "dots":
+            enc_cls = nn.checkpoint(
+                SparseEncoder, static_argnums=(3,),
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        elif remat_mode == "1":
             enc_cls = nn.checkpoint(SparseEncoder, static_argnums=(3,))
         self.pts_middle_encoder = enc_cls(
             sparse_shape=vz.sparse_shape, in_channels=self.cfg.num_point_features,
