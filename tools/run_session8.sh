@@ -18,7 +18,14 @@ cd /root/repo
 OUT=/root/repo/work_dirs
 LOG=$OUT/session8.log
 mkdir -p "$OUT"
+# lock hygiene retrofitted post-run (ADVICE r4): bail if another suite owns
+# the chip; trap-remove our lock on ANY exit, not just the happy path
+if [ -e "$OUT/TPU_BENCH_RUNNING" ]; then
+  echo "lock exists — refusing to start" >&2
+  exit 1
+fi
 touch "$OUT/TPU_BENCH_RUNNING"
+trap 'rm -f "$OUT/TPU_BENCH_RUNNING"' EXIT
 echo "session8 start $(date -u +%FT%TZ) HEAD=$(git rev-parse --short HEAD)" >> "$LOG"
 
 run() {
