@@ -76,12 +76,14 @@ def test_sharded_plan_step_matches_single(trainer):
         plan_r = replicate(plan, mesh)
         s2, logs2 = trainer.train_step(state_r, batch_s, epoch=5, plan=plan_r)
 
-    # bf16 model + partition-dependent reduction orders: ~0.2% loss drift is
-    # normal; plan-vs-inline exactness is pinned bitwise in test_plan.py
-    assert float(logs1["loss"]) == pytest.approx(float(logs2["loss"]), rel=5e-3)
+    # bf16 model + partition-dependent reduction orders: ~0.2% loss drift
+    # with the f32 adversary, ~0.8% with the round-5 bf16-default adversary
+    # MLP (its masked BN statistics shift with partition order at bf16
+    # precision); plan-vs-inline exactness is pinned bitwise in test_plan.py
+    assert float(logs1["loss"]) == pytest.approx(float(logs2["loss"]), rel=1.5e-2)
     p1 = np.asarray(s1.params["middle_encoder"]["conv_input"]["kernel"])
     p2 = np.asarray(s2.params["middle_encoder"]["conv_input"]["kernel"])
-    np.testing.assert_allclose(p1, p2, rtol=5e-3, atol=5e-5)
+    np.testing.assert_allclose(p1, p2, rtol=1.5e-2, atol=2e-4)
 
 
 def _build_device_plans(trainer_, batch, n):
